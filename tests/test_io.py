@@ -1,0 +1,196 @@
+"""I/O layer tests against the reference example-01 data (byte-level oracle)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from nnet_asr_tpu.io import htk, mlf, scp, labels, mmf
+from nnet_asr_tpu.io.htk import FeatureReader, HtkHeader
+
+
+def test_read_htk_header_and_data(example01):
+    data, hdr = htk.read_htk_file(str(example01 / "features" / "001.fea"))
+    assert hdr.n_samples == 136
+    assert hdr.sample_period == 100000
+    assert hdr.sample_size == 92
+    assert hdr.sample_kind == htk.PARMKIND_ANON
+    assert data.shape == (136, 23)
+    assert np.isfinite(data).all()
+
+
+def test_htk_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((17, 13)).astype(np.float32)
+    p = str(tmp_path / "t.fea")
+    htk.write_htk_file(p, x, htk.PARMKIND_USER, 100000)
+    y, hdr = htk.read_htk_file(p)
+    np.testing.assert_array_equal(x, y)
+    assert hdr.sample_kind == htk.PARMKIND_USER
+    assert hdr.n_samples == 17
+
+
+def test_compressed_htk(tmp_path):
+    # build a compressed file by hand: x = (s + B) / A
+    rng = np.random.default_rng(1)
+    coefs = 5
+    n = 8
+    x_true = rng.standard_normal((n, coefs)).astype(np.float32) * 10
+    A = np.full(coefs, 100.0, dtype=np.float32)
+    B = np.zeros(coefs, dtype=np.float32)
+    s = np.round(x_true * A - B).astype(">i2")
+    p = str(tmp_path / "c.fea")
+    with open(p, "wb") as f:
+        hdr = HtkHeader(n + 4, 100000, coefs * 2, htk.PARMKIND_USER | htk.PARMKIND_C)
+        f.write(hdr.pack(True))
+        f.write(A.astype(">f4").tobytes())
+        f.write(B.astype(">f4").tobytes())
+        f.write(s.tobytes())
+    y, hdr2 = htk.read_htk_file(p)
+    assert y.shape == (n, coefs)
+    assert hdr2.n_samples == n
+    np.testing.assert_allclose(y, x_true, atol=0.01)
+
+
+def test_frame_extension_edges(example01):
+    # reading with ±25 extension replicates edge frames (Features.cc:1264-1279)
+    rd = FeatureReader(start_frm_ext=25, end_frm_ext=25)
+    x = rd.read(str(example01 / "features" / "001.fea"))
+    assert x.shape == (136 + 50, 23)
+    for i in range(25):
+        np.testing.assert_array_equal(x[i], x[25])
+        np.testing.assert_array_equal(x[-1 - i], x[-26])
+    raw, _ = htk.read_htk_file(str(example01 / "features" / "001.fea"))
+    np.testing.assert_array_equal(x[25:-25], raw)
+
+
+def test_frame_range_consumes_real_frames_before_extending(example01):
+    # with range [30,50] and ext 25, the left extension uses real frames 5..29
+    rd = FeatureReader(start_frm_ext=25, end_frm_ext=25)
+    x = rd.read(str(example01 / "features" / "001.fea") + "[30,50]")
+    raw, _ = htk.read_htk_file(str(example01 / "features" / "001.fea"))
+    assert x.shape == (21 + 50, 23)
+    np.testing.assert_array_equal(x, raw[5:76])
+
+
+def test_deltas_match_htk_formula(tmp_path):
+    # build a small static file and compute deltas with deriv window 2
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((20, 3)).astype(np.float32)
+    p = str(tmp_path / "d.fea")
+    htk.write_htk_file(p, x, htk.PARMKIND_MFCC)
+    rd = FeatureReader(target_kind=htk.parse_parmkind("MFCC_D"),
+                       deriv_order=1, deriv_win_lengths=[2])
+    y = rd.read(p)
+    assert y.shape == (20, 6)
+    np.testing.assert_array_equal(y[:, :3], x)
+    # oracle: HTK regression formula with edge clamping
+    T = len(x)
+    norm = sum(2 * k * k for k in (1, 2))
+    for i in range(T):
+        want = sum(k * (x[min(T - 1, i + k)] - x[max(0, i - k)]) for k in (1, 2)) / norm
+        np.testing.assert_allclose(y[i, 3:], want, rtol=1e-5)
+
+
+def test_sentence_cmn(tmp_path):
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((30, 4)).astype(np.float32) + 5.0
+    p = str(tmp_path / "z.fea")
+    htk.write_htk_file(p, x, htk.PARMKIND_FBANK)
+    rd = FeatureReader(target_kind=htk.parse_parmkind("FBANK_Z"))
+    y = rd.read(p)
+    np.testing.assert_allclose(y.mean(axis=0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(y, x - x.mean(axis=0, dtype=np.float32), atol=1e-5)
+
+
+def test_cepsnorm_files(tmp_path):
+    mean = np.array([1.0, -2.0, 3.0])
+    var = np.array([4.0, 0.25, 1.0])
+    pm = str(tmp_path / "cmn")
+    pv = str(tmp_path / "cvn")
+    htk.write_cepsnorm_file(pm, "MEAN", htk.PARMKIND_FBANK, mean)
+    htk.write_cepsnorm_file(pv, "VARIANCE", htk.PARMKIND_FBANK, var)
+    m = htk.read_cepsnorm_file(pm, "MEAN", htk.PARMKIND_FBANK, 3)
+    v = htk.read_cepsnorm_file(pv, "VARIANCE", htk.PARMKIND_FBANK, 3)
+    np.testing.assert_allclose(m, mean)
+    np.testing.assert_allclose(v, 1.0 / np.sqrt(var))
+
+
+def test_parmkind_parse_roundtrip():
+    for s, base in [("MFCC_E_D_A_Z", 6), ("USER", 9), ("ANON", 12)]:
+        k = htk.parse_parmkind(s)
+        assert (k & 0o77) == base
+        assert htk.parse_parmkind(htk.parmkind_to_str(k)) == k
+
+
+def test_scp_parsing():
+    e = scp.parse_scp_entry("logical.fea=physical.fea[10,20]{0.5}")
+    assert e.logical == "logical.fea"
+    assert e.physical == "physical.fea[10,20]"
+    assert e.weight == 0.5
+    e2 = scp.parse_scp_entry("features/001.fea")
+    assert e2.logical == e2.physical == "features/001.fea"
+    assert e2.weight == 1.0
+
+
+def test_scp_example01(example01):
+    entries = scp.read_scp(str(example01 / "lib" / "test.scp"))
+    assert len(entries) == 100
+    assert entries[0].physical == "features/001.fea"
+
+
+def test_mlf_index_and_lookup(example01):
+    r = mlf.MlfReader(str(example01 / "lib" / "test_3s.mlf"))
+    assert len(r.names()) == 100
+    ivs = r.read_intervals("*/001.lab")
+    assert ivs[0] == (0, 100000, "sil_s2")
+    # lookup by full path resolves the wildcard record
+    ivs2 = r.read_intervals("features/001.lab")
+    assert ivs2 == ivs
+
+
+def test_label_targets(example01):
+    rep = labels.LabelRepository(
+        str(example01 / "lib" / "test_3s.mlf"),
+        str(example01 / "lib" / "mono_state_phn_set_135_phn"),
+        label_dir="*/", label_ext="lab")
+    assert rep.n_outputs == 135
+    lab = rep.get_frame_labels(136, 100000, "features/001.fea")
+    assert lab.shape == (136,)
+    assert (lab >= 0).all() and (lab < 135).all()
+    # first label is sil_s2
+    assert lab[0] == rep.label_map["sil_s2"]
+    onehot = rep.get_onehot(136, 100000, "features/001.fea")
+    np.testing.assert_array_equal(onehot.sum(axis=1), 1.0)
+    np.testing.assert_array_equal(onehot.argmax(axis=1), lab)
+
+
+def test_all_example01_labels_consistent(example01):
+    """Every utterance's labels cover exactly the feature frames."""
+    rep = labels.LabelRepository(
+        str(example01 / "lib" / "test_3s.mlf"),
+        str(example01 / "lib" / "mono_state_phn_set_135_phn"),
+        label_dir="*/", label_ext="lab")
+    entries = scp.read_scp(str(example01 / "lib" / "test.scp"))
+    for e in entries[:10]:
+        data, hdr = htk.read_htk_file(str(example01 / e.physical))
+        lab = rep.get_frame_labels(hdr.n_samples, hdr.sample_period, e.logical)
+        assert lab.shape == (hdr.n_samples,)
+
+
+def test_matrix_vector_ascii_roundtrip():
+    rng = np.random.default_rng(4)
+    m = rng.standard_normal((3, 5)).astype(np.float32)
+    v = rng.standard_normal(7).astype(np.float32)
+    m2 = mmf.read_matrix_ascii(mmf.write_matrix_ascii(m))
+    v2 = mmf.read_vector_ascii(mmf.write_vector_ascii(v))
+    np.testing.assert_array_equal(m, m2)
+    np.testing.assert_array_equal(v, v2)
+
+
+def test_process_mask():
+    assert htk.process_mask("dir/spk1_utt3.fea", "*/%%%%_*.fea") == "spk1"
+    assert htk.process_mask("abc", "%%%") == "abc"
+    with pytest.raises(ValueError):
+        htk.process_mask("abc", "x%%")
