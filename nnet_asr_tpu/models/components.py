@@ -402,10 +402,22 @@ class Expand(Component):
     offsets: Tuple[int, ...] = ()
 
     def apply(self, params, x):
+        # static shifted slices with edge replication — compiles to pure
+        # slice/concat (no gather), which XLA fuses well on TPU
         T = x.shape[0]
-        offs = jnp.asarray(self.offsets, dtype=jnp.int32)
-        rows = jnp.clip(jnp.arange(T, dtype=jnp.int32)[:, None] + offs[None, :], 0, T - 1)
-        return x[rows].reshape(T, len(self.offsets) * x.shape[1])
+        cols = []
+        for off in self.offsets:
+            if off < 0:
+                k = min(-off, T)
+                head = jnp.broadcast_to(x[0], (k, x.shape[1]))
+                cols.append(jnp.concatenate([head, x[:T - k]], axis=0))
+            elif off > 0:
+                k = min(off, T)
+                tail = jnp.broadcast_to(x[T - 1], (k, x.shape[1]))
+                cols.append(jnp.concatenate([x[k:], tail], axis=0))
+            else:
+                cols.append(x)
+        return jnp.concatenate(cols, axis=1)
 
     @classmethod
     def read(cls, n_inputs, n_outputs, ts):

@@ -1,0 +1,162 @@
+"""TNet — frame-level CE/MSE trainer CLI (TNet.cc / TNetCu.cc equivalent).
+
+Accepts the reference tools' option vocabulary (same short options, long
+``--PARAM=VAL`` names, and ``-C`` config files, SNAME "TNET") so the
+reference shell drivers (run_test.*.sh, tools/train/training_scheduler.sh)
+can drive it unmodified. One TPU chip replaces both the multithreaded CPU
+Platform and the CUDA path; ``--THREADS`` is accepted and ignored.
+
+Defaults follow TNetCu.cc:192-246 (momentum/L1/lr-factors/GRADDIVFRM
+supported; GRADDIVFRM default TRUE — pass =F for TNet-CPU update semantics).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from .. import __version__
+from ..io.labels import LabelRepository
+from ..io.scp import read_scp
+from ..models.network import Network
+from ..train.sgd import SgdConfig
+from ..train.trainer import Trainer, TrainerConfig
+from ..utils.config import UserInterface
+
+OPTION_STRING = (
+    " -c n   CROSSVALIDATE=TRUE"
+    " -m r   OUTPUTLABELMAP"
+    " -n r   LEARNINGRATE"
+    " -o r   TARGETMODELEXT"
+    " -D n   PRINTCONFIG=TRUE"
+    " -H l   SOURCEMMF"
+    " -I r   SOURCEMLF"
+    " -L r   SOURCETRANSCDIR"
+    " -M r   TARGETMODELDIR"
+    " -O r   OBJECTIVEFUNCTION"
+    " -S l   SCRIPT"
+    " -T r   TRACE"
+    " -V n   PRINTVERSION=TRUE"
+    " -X r   SOURCETRANSCEXT"
+)
+
+SNAME = "TNET"
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv if argv is None else argv)
+    ui = UserInterface()
+    args_parsed = ui.parse_options(argv, OPTION_STRING, SNAME)
+
+    reader, feaparams = ui.make_feature_reader()
+
+    p_source_mmf = ui.get_str("SOURCEMMF")
+    p_transform = ui.get_str("FEATURETRANSFORM")
+    p_targetmmf = ui.get_str("TARGETMMF")
+    p_trg_dir = ui.get_str("TARGETMODELDIR", "")
+    p_trg_ext = ui.get_str("TARGETMODELEXT", "")
+    p_script = ui.get_str("SCRIPT")
+    p_label_map = ui.get_str("OUTPUTLABELMAP")
+    learning_rate = ui.get_flt("LEARNINGRATE", 0.06)
+    lr_factors = ui.get_str("LEARNRATEFACTORS", None)
+    momentum = ui.get_flt("MOMENTUM", 0.0)
+    weightcost = ui.get_flt("WEIGHTCOST", 0.0)
+    l1 = ui.get_flt("L1", 0.0)
+    grad_div_frm = ui.get_bool("GRADDIVFRM", True)
+    objective = ui.get_enum("OBJECTIVEFUNCTION", "ent", ["ent", "mse"])
+    confusion_mode = ui.get_enum("CONFUSIONMODE", "no",
+                                 ["no", "max", "soft", "dmax", "dsoft"])
+    p_mlf = ui.get_str("SOURCEMLF")
+    p_lbl_dir = ui.get_str("SOURCETRANSCDIR")
+    p_lbl_ext = ui.get_str("SOURCETRANSCEXT", "lab")
+    bunchsize = ui.get_int("BUNCHSIZE", 256)
+    cachesize = ui.get_int("CACHESIZE", 12800)
+    randomize = ui.get_bool("RANDOMIZE", True)
+    seed = ui.get_int("SEED", 0)
+    crossval = ui.get_bool("CROSSVALIDATE", False)
+    trace = ui.get_int("TRACE", 0)
+    ui.get_int("THREADS", 1)        # accepted for script compat; ignored
+    ui.get_int("GPUSELECT", -1)     # ditto
+
+    if ui.get_bool("PRINTCONFIG", False):
+        print()
+        ui.print_config()
+        print()
+    if ui.get_bool("PRINTVERSION", False):
+        print(f"\n======= TNET v{__version__} (nnet_asr_tpu) =======\n")
+    ui.check_command_line_param_use()
+
+    if p_script is None:
+        print("WARNING: The script file is missing [-S]", file=sys.stderr)
+    if p_mlf is None:
+        raise SystemExit("Source mlf file is missing [-I]")
+    if p_label_map is None:
+        raise SystemExit("Output label map is missing [-m]")
+    if p_source_mmf is None:
+        raise SystemExit("Source MMF must be specified [-H]")
+
+    entries = read_scp(p_script) if p_script else []
+    for extra in argv[args_parsed:]:
+        from ..io.scp import parse_scp_entry
+        entries.append(parse_scp_entry(extra))
+
+    labels_repo = LabelRepository(p_mlf, p_label_map, p_lbl_dir, p_lbl_ext)
+    transform = Network.read(p_transform) if p_transform else None
+    net = Network.read(p_source_mmf)
+
+    cfg = TrainerConfig(
+        bunchsize=bunchsize, cachesize=cachesize, seed=seed,
+        randomize=randomize and not crossval, crossvalidate=crossval,
+        objective="xent" if objective == "ent" else "mse",
+        sgd=SgdConfig(learning_rate=learning_rate, momentum=momentum,
+                      weightcost=weightcost, l1=l1, grad_div_frm=grad_div_frm,
+                      lr_factors=SgdConfig.parse_factors(lr_factors)),
+        trace=trace)
+    trainer = Trainer(net, cfg, transform,
+                      feaparams["start_frm_ext"], feaparams["end_frm_ext"])
+    if cfg.objective == "xent":
+        trainer.stats.confusion_mode = confusion_mode
+        trainer.stats.label_map_file = p_label_map
+
+    print(f"===== TNET {'CROSSVALIDATION' if crossval else 'TRAINING'} STARTED =====")
+    print(f"Objective function: {'Xent' if cfg.objective == 'xent' else 'Mse'}")
+    if not crossval:
+        print(f"Learning rate: {learning_rate:g}")
+    sys.stdout.flush()
+
+    t0 = time.time()
+
+    def utterance_iter():
+        for e in entries:
+            feats = reader.read(e.physical, e.logical)
+            n_real = feats.shape[0] - feaparams["start_frm_ext"] - feaparams["end_frm_ext"]
+            labs = labels_repo.get_frame_labels(
+                n_real, reader.last_header.sample_period, e.logical)
+            if trace & 2:
+                print(".", end="", flush=True)
+            yield feats, labs
+
+    trainer.run_epoch(utterance_iter())
+
+    if not crossval:
+        out_net = trainer.updated_network()
+        if p_targetmmf:
+            out_net.write(p_targetmmf)
+        elif p_trg_dir or p_trg_ext:
+            from ..io.htk import make_htk_filename
+            out_net.write(make_htk_filename(p_source_mmf, p_trg_dir, p_trg_ext))
+        else:
+            print("WARNING: no target model specified, not saving",
+                  file=sys.stderr)
+
+    print()
+    print(f"===== TNET FINISHED ( {time.time() - t0:.1f}s ) =====")
+    print(trainer.report(), end="")
+    print(trainer.throughput_report(), end="")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

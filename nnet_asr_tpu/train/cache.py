@@ -1,0 +1,102 @@
+"""Device-resident frame-shuffling cache.
+
+Re-implements the Cache/CuCache semantics (TNetLib/Cache.cc,
+CuTNetLib/cuCache.cc): EMPTY→INTAKE→FULL→EXHAUST state machine, leftover
+carry-over between fills, host-generated permutation (bit-exact
+srand48 + std::random_shuffle order via utils.rand48) with the row gather
+on device, fixed-size bunches with the trailing remainder discarded.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.rand48 import Rand48
+
+
+class FrameCache:
+    def __init__(self, cachesize: int, bunchsize: int, seed: int = 0,
+                 randomize: bool = True):
+        if cachesize % bunchsize != 0:
+            raise ValueError(
+                f"Non divisible cachesize {cachesize} by bunchsize {bunchsize}")
+        self.cachesize = cachesize
+        self.bunchsize = bunchsize
+        self.randomize = randomize
+        if seed == 0:
+            seed = int(time.time())
+        self.rng = Rand48(seed)
+        self._feats: List[jnp.ndarray] = []
+        self._labels: List[np.ndarray] = []
+        self._rows = 0
+        self._leftover: Optional[Tuple[jnp.ndarray, np.ndarray]] = None
+        self.discarded = 0
+
+    # -- intake -------------------------------------------------------------
+
+    def _take_leftover(self) -> None:
+        if self._leftover is not None:
+            f, l = self._leftover
+            self._leftover = None
+            if f.shape[0] > self.cachesize:
+                # Too small cache: truncate like Cache.cc:80-92
+                f, l = f[:self.cachesize], l[:self.cachesize]
+            self._feats.append(f)
+            self._labels.append(l)
+            self._rows += f.shape[0]
+
+    def add(self, feats: jnp.ndarray, labels: np.ndarray) -> None:
+        """Add one utterance (device feats (T, D), host int labels (T,))."""
+        assert feats.shape[0] == labels.shape[0]
+        if self._rows == 0:
+            self._take_leftover()
+        space = self.cachesize - self._rows
+        if space <= 0:
+            raise RuntimeError("AddData on full cache")
+        fill = min(space, feats.shape[0])
+        self._feats.append(feats[:fill])
+        self._labels.append(labels[:fill])
+        self._rows += fill
+        if fill < feats.shape[0]:
+            self._leftover = (feats[fill:], labels[fill:])
+
+    @property
+    def full(self) -> bool:
+        return self._rows >= self.cachesize
+
+    @property
+    def rows(self) -> int:
+        return self._rows
+
+    @property
+    def has_leftover(self) -> bool:
+        return self._leftover is not None
+
+    # -- exhaust ------------------------------------------------------------
+
+    def bunches(self) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Randomize (if enabled) and yield (feats, labels) bunches.
+
+        Resets the cache to EMPTY afterwards; the partial tail bunch is
+        discarded (Cache.cc:239-244).
+        """
+        if self._rows == 0:
+            raise RuntimeError("GetBunch on empty cache")
+        feats = self._feats[0] if len(self._feats) == 1 else jnp.concatenate(self._feats, axis=0)
+        labels = self._labels[0] if len(self._labels) == 1 else np.concatenate(self._labels, axis=0)
+        n = self._rows
+        if self.randomize:
+            perm = self.rng.permutation(n)
+            feats = jnp.take(feats, jnp.asarray(perm), axis=0)
+            labels = labels[perm]
+        nb = n // self.bunchsize
+        self.discarded += n - nb * self.bunchsize
+        self._feats, self._labels, self._rows = [], [], 0
+        for i in range(nb):
+            s = i * self.bunchsize
+            yield feats[s:s + self.bunchsize], jnp.asarray(labels[s:s + self.bunchsize])

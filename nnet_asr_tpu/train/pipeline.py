@@ -1,0 +1,92 @@
+"""Batched device-side feature-transform pipeline.
+
+The reference transforms one utterance at a time on the training device and
+trims the splice halo afterwards (Platform.h:274-286, TNetCu.cc:385-393).
+The TPU-native design keeps that contract but batches the work into
+fixed-shape chunks so XLA compiles the transform once:
+
+  1. extended utterances (each read with ±ext halo frames) are concatenated
+     host-side into one frame stream;
+  2. the stream runs through the transform network in CHUNK-row tiles with
+     ext-row overlap (same halo-exchange trick as Network::Feedforward,
+     Nnet.cc:15-62) — every tile has identical shape → one XLA program;
+  3. the valid (halo-trimmed) rows of each utterance are gathered back out.
+
+Rows kept for utterance i only ever splice into utterance i's own extended
+block, so the result is bit-identical to per-utterance transformation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.network import Network
+
+
+class TransformPipeline:
+    def __init__(self, transform: Optional[Network], start_ext: int = 0,
+                 end_ext: int = 0, chunk: int = 2048):
+        self.transform = transform
+        self.start_ext = start_ext
+        self.end_ext = end_ext
+        self.chunk = chunk
+        if transform is not None:
+            specs = transform.specs
+
+            def apply_chunk(params, x):
+                for spec, p in zip(specs, params):
+                    x = spec.apply(p, x)
+                return x
+
+            self._apply_chunk = jax.jit(apply_chunk)
+        else:
+            self._apply_chunk = None
+
+    @property
+    def out_dim(self) -> int:
+        return self.transform.n_outputs if self.transform else 0
+
+    def __call__(self, ext_feats: Sequence[np.ndarray]) -> List[jnp.ndarray]:
+        """Transform a batch of frame-extended utterances.
+
+        ``ext_feats[i]`` is (T_i + start_ext + end_ext, D_in); returns a list
+        of device arrays (T_i, D_out) with the halo trimmed.
+        """
+        ext_l, ext_r = self.start_ext, self.end_ext
+        real_lens = [f.shape[0] - ext_l - ext_r for f in ext_feats]
+        if self.transform is None:
+            return [jnp.asarray(f[ext_l:f.shape[0] - ext_r]) for f in ext_feats]
+
+        stream = np.concatenate(ext_feats, axis=0) if len(ext_feats) > 1 else ext_feats[0]
+        S = stream.shape[0]
+        C = self.chunk
+        n_chunks = max(1, -(-S // C))
+        halo = ext_l + ext_r
+        # pad: ext_l zeros in front (context for row 0 of chunk 0 — only
+        # trimmed rows read it), and tail zeros so every tile is full-size
+        padded = np.zeros((ext_l + n_chunks * C + ext_r, stream.shape[1]),
+                          dtype=np.float32)
+        padded[ext_l:ext_l + S] = stream
+        padded_dev = jnp.asarray(padded)
+
+        params = self.transform.params
+        out_chunks = []
+        for i in range(n_chunks):
+            tile = jax.lax.dynamic_slice_in_dim(padded_dev, i * C, C + halo, axis=0)
+            y = self._apply_chunk(params, tile)
+            # tile rows [ext_l, ext_l + C) are the chunk's own rows
+            out_chunks.append(y[ext_l:ext_l + C])
+        stream_out = jnp.concatenate(out_chunks, axis=0)[:S]
+
+        outs = []
+        off = 0
+        for f, t_real in zip(ext_feats, real_lens):
+            outs.append(jax.lax.dynamic_slice_in_dim(
+                stream_out, off + ext_l, t_real, axis=0))
+            off += f.shape[0]
+        return outs

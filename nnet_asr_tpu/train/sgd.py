@@ -1,0 +1,115 @@
+"""SGD with the reference's exact update semantics.
+
+Unifies the CPU trainer (TNetLib/BiasedLinearity.cc:131-178: plain
+``W -= lr * grad_sum`` + L2 decay scaled by bunch frames) and the GPU
+trainer (CuTNetLib/cuBiasedLinearity.cc:44-63: momentum with
+``mmt_gain = 1/(1-momentum)`` normalization, optional grad/frames, L2 from
+live weights, L1 for sparse layers) into one functional optimizer over the
+network's param pytree. The CPU semantics are momentum=0, grad_div_frm=False.
+
+Per-layer learning-rate factors follow CuNetwork::SetLearnRate
+(cuNetwork.cc:80-134): a ``0.1:0.5:1.0`` list maps to *updatable* layers in
+order; factor 0 freezes a layer (the reference additionally stops backprop
+below the first live layer — pure optimization, same math).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.components import SparseLinearity
+from ..models.network import Network
+
+
+@dataclass(frozen=True)
+class SgdConfig:
+    learning_rate: float = 0.008
+    momentum: float = 0.0
+    weightcost: float = 0.0    # L2
+    l1: float = 0.0
+    grad_div_frm: bool = True
+    # per-updatable-layer lr factors, e.g. (0.1, 0.5, 1.0); None = all 1.0
+    lr_factors: Optional[Tuple[float, ...]] = None
+
+    @staticmethod
+    def parse_factors(s: Optional[str]) -> Optional[Tuple[float, ...]]:
+        if not s:
+            return None
+        return tuple(float(v) for v in s.replace(",", ":").split(":"))
+
+
+def layer_lr_factors(net: Network, cfg: SgdConfig) -> List[float]:
+    """Factor per component (non-updatable layers get 0)."""
+    factors = []
+    k = 0
+    for spec in net.specs:
+        if spec.updatable:
+            if cfg.lr_factors is not None:
+                if k >= len(cfg.lr_factors):
+                    raise ValueError("Too few learning-rate factors for network")
+                factors.append(cfg.lr_factors[k])
+            else:
+                factors.append(1.0)
+            k += 1
+        else:
+            factors.append(0.0)
+    if cfg.lr_factors is not None and k != len(cfg.lr_factors):
+        raise ValueError(
+            f"Learning-rate factor count {len(cfg.lr_factors)} != updatable layers {k}")
+    return factors
+
+
+def init_momentum(net: Network) -> List[dict]:
+    """Zero velocity buffers for every trainable parameter."""
+    out = []
+    for spec, p in zip(net.specs, net.params):
+        out.append({k: jnp.zeros_like(v) for k, v in p.items()
+                    if k in spec.trainable_keys})
+    return out
+
+
+def apply_updates(net: Network, params: List[dict], velocity: List[dict],
+                  grads: List[dict], cfg: SgdConfig, n_frames: jnp.ndarray,
+                  factors: Sequence[float]):
+    """One SGD step. Pure: returns (new_params, new_velocity).
+
+    grads are *sums* over the bunch (the reference's X^T E convention).
+    """
+    new_params: List[dict] = []
+    new_vel: List[dict] = []
+    n_frames = jnp.asarray(n_frames, jnp.float32)
+    for spec, p, v, g, f in zip(net.specs, params, velocity, grads, factors):
+        np_, nv_ = dict(p), dict(v)
+        if spec.updatable and f != 0.0:
+            lr = cfg.learning_rate * f
+            N = n_frames if cfg.grad_div_frm else jnp.asarray(1.0, jnp.float32)
+            if cfg.momentum != 0.0:
+                N = N * (1.0 / (1.0 - cfg.momentum))
+            for k in spec.trainable_keys:
+                if k not in g or g[k] is None:
+                    continue
+                corr = g[k] + cfg.momentum * v[k]
+                nv_[k] = corr
+                w = p[k] - (lr / N) * corr
+                # L2 weight decay from live weights (cuBiasedLinearity.cc:60-62);
+                # reference applies it to weights only, not biases? It applies
+                # to mLinearity only — match that: decay matrices, not vectors.
+                if cfg.weightcost != 0.0 and w.ndim >= 2:
+                    decay = lr * cfg.weightcost * (
+                        jnp.asarray(1.0, jnp.float32) if cfg.grad_div_frm else n_frames)
+                    w = w - decay * w
+                # L1 for sparse layers (cuSparseLinearity ApplyL1 analog)
+                if cfg.l1 != 0.0 and isinstance(spec, SparseLinearity) and w.ndim >= 2:
+                    l1pen = cfg.l1 * (jnp.asarray(1.0, jnp.float32)
+                                      if cfg.grad_div_frm else n_frames) * lr
+                    w = jnp.sign(w) * jnp.maximum(jnp.abs(w) - l1pen, 0.0)
+                np_[k] = w
+            if isinstance(spec, SparseLinearity):
+                np_["weight"] = np_["weight"] * p["mask"]
+        new_params.append(np_)
+        new_vel.append(nv_)
+    return new_params, new_vel
