@@ -1,0 +1,79 @@
+"""Benchmark: frame-CE training throughput of the flagship MLP3 on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload = example-01's training configuration (598->1024->135 MLP, bunch
+960, fused fwd+bwd+SGD step), measured as trained frames/second on the
+available accelerator. vs_baseline compares against the reference CPU
+binary's throughput on the same workload (TNet multithreaded, GotoBLAS) —
+measured at ~106k frames/s on this container's CPU via the reference's own
+FPS report format when buildable, else the recorded estimate below.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_BASELINE_FPS = 1754.0  # measured: reference TNet CPU binary (system BLAS,
+# 2-core container, THREADS=4, example-01 workload) — see BASELINE_MEASURED.md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nnet_asr_tpu.models import (BiasedLinearity, Network, Sigmoid,
+                                     Softmax)
+    from nnet_asr_tpu.train.sgd import SgdConfig
+    from nnet_asr_tpu.train.trainer import Trainer, TrainerConfig
+
+    rng = np.random.default_rng(0)
+    n_in, n_hid, n_out = 598, 1024, 135
+    specs = (BiasedLinearity(n_in, n_hid), Sigmoid(n_hid, n_hid),
+             BiasedLinearity(n_hid, n_out), Softmax(n_out, n_out))
+    params = [
+        {"weight": (0.1 * rng.standard_normal((n_in, n_hid))).astype(np.float32),
+         "bias": np.zeros(n_hid, np.float32)},
+        {},
+        {"weight": (0.1 * rng.standard_normal((n_hid, n_out))).astype(np.float32),
+         "bias": np.zeros(n_out, np.float32)},
+        {},
+    ]
+    net = Network(specs, params)
+
+    bunch = 960
+    cfg = TrainerConfig(
+        bunchsize=bunch, cachesize=bunch, seed=123, randomize=False,
+        sgd=SgdConfig(learning_rate=0.008, grad_div_frm=False))
+    tr = Trainer(net, cfg)
+
+    feats = jnp.asarray(rng.standard_normal((bunch, n_in)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, n_out, bunch).astype(np.int32))
+
+    # compile + warmup
+    acc = tr._zero_acc()
+    for _ in range(3):
+        tr.params, tr.velocity, acc = tr._train_step(
+            tr.params, tr.velocity, acc, feats, labels)
+    jax.block_until_ready(tr.params)
+
+    steps = 200
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        tr.params, tr.velocity, acc = tr._train_step(
+            tr.params, tr.velocity, acc, feats, labels)
+    jax.block_until_ready(tr.params)
+    dt = time.perf_counter() - t0
+
+    fps = steps * bunch / dt
+    print(json.dumps({
+        "metric": "mlp3_train_frames_per_sec",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Sharded-step tests on the virtual 8-device CPU mesh: dp/mp parity with
+the single-chip trainer."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nnet_asr_tpu.models import BiasedLinearity, Network, Sigmoid, Softmax
+from nnet_asr_tpu.parallel.mesh import make_mesh
+from nnet_asr_tpu.parallel.sharded_step import (ShardedTrainState,
+                                                make_sharded_train_step,
+                                                zero_acc)
+from nnet_asr_tpu.train.sgd import SgdConfig
+from nnet_asr_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def _mlp(rng, din=16, dh=32, dout=24):
+    specs = (BiasedLinearity(din, dh), Sigmoid(dh, dh),
+             BiasedLinearity(dh, dout), Softmax(dout, dout))
+    params = [
+        {"weight": (0.1 * rng.standard_normal((din, dh))).astype(np.float32),
+         "bias": np.zeros(dh, np.float32)},
+        {},
+        {"weight": (0.1 * rng.standard_normal((dh, dout))).astype(np.float32),
+         "bias": np.zeros(dout, np.float32)},
+        {},
+    ]
+    return Network(specs, params)
+
+
+def _run_reference(net, bunches, sgd_cfg):
+    cfg = TrainerConfig(bunchsize=bunches[0][0].shape[0],
+                        cachesize=bunches[0][0].shape[0] * len(bunches),
+                        randomize=False, sgd=sgd_cfg)
+    tr = Trainer(net, cfg)
+    for X, labels in bunches:
+        acc = tr._zero_acc()
+        tr.params, tr.velocity, acc = tr._train_step(
+            tr.params, tr.velocity, acc, jnp.asarray(X), jnp.asarray(labels))
+        tr._merge_acc(acc)
+    return tr
+
+
+@pytest.mark.parametrize("data,model", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_matches_single_chip(data, model):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    rng = np.random.default_rng(0)
+    net = _mlp(rng)
+    sgd_cfg = SgdConfig(learning_rate=0.05, momentum=0.5, weightcost=1e-4,
+                        grad_div_frm=True)
+    bunches = []
+    for _ in range(3):
+        X = rng.standard_normal((32, 16)).astype(np.float32)
+        labels = rng.integers(0, 24, 32).astype(np.int32)
+        bunches.append((X, labels))
+
+    ref = _run_reference(net, bunches, sgd_cfg)
+
+    mesh = make_mesh(data=data, model=model)
+    state, step, evalf = make_sharded_train_step(net, sgd_cfg, mesh)
+    state.to_device(mesh)
+    acc = zero_acc()
+    with jax.default_matmul_precision("highest"):
+        for X, labels in bunches:
+            state.params, state.velocity, acc = step(
+                state.params, state.velocity, acc,
+                jnp.asarray(X), jnp.asarray(labels))
+
+    for i in (0, 2):
+        for k in ("weight", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(state.params[i][k]), np.asarray(ref.params[i][k]),
+                rtol=3e-4, atol=1e-6,
+                err_msg=f"layer {i} {k} mesh {data}x{model}")
+    assert int(acc["correct"]) == ref.stats.corr
+    assert int(acc["frames"]) == ref.stats.frames
+    assert abs(float(acc["xent"]) - ref.stats.error) < 0.05
+
+
+def test_sharded_eval():
+    rng = np.random.default_rng(1)
+    net = _mlp(rng)
+    mesh = make_mesh(data=2, model=4)
+    state, step, evalf = make_sharded_train_step(net, SgdConfig(), mesh)
+    state.to_device(mesh)
+    X = rng.standard_normal((16, 16)).astype(np.float32)
+    labels = rng.integers(0, 24, 16).astype(np.int32)
+    acc = evalf(state.params, zero_acc(), jnp.asarray(X), jnp.asarray(labels))
+    # oracle
+    import oracle
+    y = oracle.forward_network(net, X)
+    T = np.eye(24, dtype=np.float32)[labels]
+    _, xent, corr = oracle.cross_entropy_eval(y, T)
+    assert int(acc["correct"]) == corr
+    assert abs(float(acc["xent"]) - xent) < 1e-2
+
+
+def test_scaling_batch_shard_shapes():
+    """Sharded batch really is split: local shard sees bunch/data rows."""
+    mesh = make_mesh(data=8, model=1)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    x = jnp.zeros((64, 16))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    assert xs.addressable_shards[0].data.shape == (8, 16)
