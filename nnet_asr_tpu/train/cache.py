@@ -100,3 +100,25 @@ class FrameCache:
         for i in range(nb):
             s = i * self.bunchsize
             yield feats[s:s + self.bunchsize], jnp.asarray(labels[s:s + self.bunchsize])
+
+    def take_stacked(self):
+        """Randomize and return ((nb, bunch, D) feats, (nb, bunch) labels)
+        for a scan-based drain; resets the cache. None if < one bunch."""
+        if self._rows == 0:
+            raise RuntimeError("take_stacked on empty cache")
+        feats = self._feats[0] if len(self._feats) == 1 else jnp.concatenate(self._feats, axis=0)
+        labels = self._labels[0] if len(self._labels) == 1 else np.concatenate(self._labels, axis=0)
+        n = self._rows
+        if self.randomize:
+            perm = self.rng.permutation(n)
+            feats = jnp.take(feats, jnp.asarray(perm), axis=0)
+            labels = labels[perm]
+        nb = n // self.bunchsize
+        self.discarded += n - nb * self.bunchsize
+        self._feats, self._labels, self._rows = [], [], 0
+        if nb == 0:
+            return None
+        B = self.bunchsize
+        feats = feats[:nb * B].reshape(nb, B, feats.shape[1])
+        labels = jnp.asarray(labels[:nb * B].reshape(nb, B))
+        return feats, labels

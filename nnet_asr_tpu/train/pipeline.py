@@ -36,12 +36,23 @@ class TransformPipeline:
         self.end_ext = end_ext
         self.chunk = chunk
         if transform is not None:
-            specs = transform.specs
+            # linear transforms fold to one splice+matmul (the fast path;
+            # see ops/fold_affine.py) — nonlinear ones run layer-by-layer
+            from ..ops.fold_affine import fold_transform
 
-            def apply_chunk(params, x):
-                for spec, p in zip(specs, params):
-                    x = spec.apply(p, x)
-                return x
+            folded = fold_transform(transform)
+            if folded is not None:
+                sa, M, cvec = folded
+
+                def apply_chunk(params, x, _sa=sa, _M=M, _c=cvec):
+                    return _sa.apply(_M, _c, x)
+            else:
+                specs = transform.specs
+
+                def apply_chunk(params, x):
+                    for spec, p in zip(specs, params):
+                        x = spec.apply(p, x)
+                    return x
 
             self._apply_chunk = jax.jit(apply_chunk)
         else:

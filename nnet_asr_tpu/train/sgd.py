@@ -63,8 +63,14 @@ def layer_lr_factors(net: Network, cfg: SgdConfig) -> List[float]:
     return factors
 
 
-def init_momentum(net: Network) -> List[dict]:
-    """Zero velocity buffers for every trainable parameter."""
+def init_momentum(net: Network, momentum: float = 1.0) -> List[dict]:
+    """Zero velocity buffers for every trainable parameter.
+
+    With momentum == 0 no buffers are allocated (the reference CPU trainer
+    has none either) — saves a full parameter-sized read+write per step.
+    """
+    if momentum == 0.0:
+        return [{} for _ in net.specs]
     out = []
     for spec, p in zip(net.specs, net.params):
         out.append({k: jnp.zeros_like(v) for k, v in p.items()
@@ -92,8 +98,11 @@ def apply_updates(net: Network, params: List[dict], velocity: List[dict],
             for k in spec.trainable_keys:
                 if k not in g or g[k] is None:
                     continue
-                corr = g[k] + cfg.momentum * v[k]
-                nv_[k] = corr
+                if cfg.momentum != 0.0:
+                    corr = g[k] + cfg.momentum * v[k]
+                    nv_[k] = corr
+                else:
+                    corr = g[k]
                 w = p[k] - (lr / N) * corr
                 # L2 weight decay from live weights (cuBiasedLinearity.cc:60-62);
                 # reference applies it to weights only, not biases? It applies

@@ -38,6 +38,17 @@ class TrainerConfig:
     objective: str = "xent"          # 'xent' | 'mse'
     sgd: SgdConfig = field(default_factory=SgdConfig)
     trace: int = 0
+    # None = auto: fused Pallas kernels on TPU, XLA elsewhere
+    use_pallas: Optional[bool] = None
+    # 'bf16' runs the matmuls in bfloat16 (f32 master params, f32 loss/
+    # stats/update) — the production-throughput mode; None = full f32
+    compute_dtype: Optional[str] = None
+
+    def pallas_enabled(self) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        import jax
+        return jax.default_backend() == "tpu"
 
 
 class Trainer:
@@ -50,7 +61,7 @@ class Trainer:
         self.pipeline = TransformPipeline(transform, start_frm_ext, end_frm_ext)
         self.factors = tuple(layer_lr_factors(net, cfg.sgd))
         self.params = [dict(p) for p in net.params]
-        self.velocity = init_momentum(net)
+        self.velocity = init_momentum(net, cfg.sgd.momentum)
         self.stats = XentStats() if cfg.objective == "xent" else MseStats()
         self._build_steps()
         self.total_frames = 0
@@ -71,16 +82,43 @@ class Trainer:
         body_specs, block_dims, has_softmax = self._split_head()
         n_out = self.net.n_outputs
 
+        use_pallas = cfg.pallas_enabled()
+        bf16 = cfg.compute_dtype == "bf16"
+
+        def _cast(v):
+            return v.astype(jnp.bfloat16) if bf16 else v
+
         def forward_logits(params, x):
-            for spec, p in zip(body_specs, params):
-                x = spec.apply(p, x)
-            return x
+            from ..models.components import BiasedLinearity as BL, Sigmoid as Sg
+
+            x = _cast(x)
+            i = 0
+            while i < len(body_specs):
+                spec = body_specs[i]
+                if (use_pallas and isinstance(spec, BL)
+                        and i + 1 < len(body_specs)
+                        and isinstance(body_specs[i + 1], Sg)):
+                    from ..ops.pallas.matmul_act import affine_sigmoid
+                    x = affine_sigmoid(x, _cast(params[i]["weight"]),
+                                       _cast(params[i]["bias"]))
+                    i += 2
+                    continue
+                if bf16 and isinstance(spec, BL):
+                    x = (x @ _cast(params[i]["weight"])
+                         + _cast(params[i]["bias"]))
+                else:
+                    x = spec.apply(params[i], x)
+                i += 1
+            return x.astype(jnp.float32) if bf16 else x
 
         def loss_fn(params, feats, labels):
             logits = forward_logits(params, feats)
             if cfg.objective == "xent":
                 if not has_softmax:
                     raise ValueError("CE objective expects a softmax output layer")
+                if use_pallas and block_dims is None:
+                    from ..ops.pallas.softmax_ce import fused_softmax_xent
+                    return fused_softmax_xent(logits, labels)
                 return xent_loss_and_stats(logits, labels, block_dims)
             # MSE against one-hot targets; reference backprops err=y-t
             # through a terminal softmax unchanged (identity backward)
@@ -108,6 +146,27 @@ class Trainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(eval_step, donate_argnums=(0,))
 
+        # whole-cache drain as ONE program: lax.scan over stacked bunches —
+        # removes per-bunch dispatch (the TPU analog of the reference's
+        # tight GetBunch loop, TNetCu.cc:427-441)
+        def drain_train(params, velocity, acc, feats_all, labels_all):
+            def body(carry, batch):
+                p, v, a = carry
+                p, v, a = train_step(p, v, a, batch[0], batch[1])
+                return (p, v, a), None
+            (params, velocity, acc), _ = jax.lax.scan(
+                body, (params, velocity, acc), (feats_all, labels_all))
+            return params, velocity, acc
+
+        def drain_eval(params, acc, feats_all, labels_all):
+            def body(a, batch):
+                return eval_step(a, params, batch[0], batch[1]), None
+            acc, _ = jax.lax.scan(body, acc, (feats_all, labels_all))
+            return acc
+
+        self._drain_train = jax.jit(drain_train, donate_argnums=(0, 1, 2))
+        self._drain_eval = jax.jit(drain_eval, donate_argnums=(1,))
+
     def _zero_acc(self):
         if self.cfg.objective == "xent":
             return {"xent": jnp.zeros((), jnp.float32),
@@ -124,13 +183,16 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _drain_cache(self, cache: FrameCache) -> None:
+        stacked = cache.take_stacked()
+        if stacked is None:
+            return
+        feats_all, labels_all = stacked
         acc = self._zero_acc()
-        for feats, labels in cache.bunches():
-            if self.cfg.crossvalidate:
-                acc = self._eval_step(acc, self.params, feats, labels)
-            else:
-                self.params, self.velocity, acc = self._train_step(
-                    self.params, self.velocity, acc, feats, labels)
+        if self.cfg.crossvalidate:
+            acc = self._drain_eval(self.params, acc, feats_all, labels_all)
+        else:
+            self.params, self.velocity, acc = self._drain_train(
+                self.params, self.velocity, acc, feats_all, labels_all)
         self._merge_acc(acc)
 
     def run_epoch(self, utterances: Iterable[Tuple[np.ndarray, np.ndarray]],

@@ -1,0 +1,94 @@
+"""Pallas kernel correctness tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nnet_asr_tpu.ops.pallas.matmul_act import affine_sigmoid, matmul_act
+from nnet_asr_tpu.ops.pallas.softmax_ce import fused_softmax_xent
+from nnet_asr_tpu.ops.fold_affine import fold_transform
+from nnet_asr_tpu.models import Network
+
+
+def test_matmul_act_forward():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((100, 70)).astype(np.float32)
+    w = rng.standard_normal((70, 50)).astype(np.float32)
+    b = rng.standard_normal(50).astype(np.float32)
+    y = np.asarray(matmul_act(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
+    want = 1 / (1 + np.exp(-(x @ w + b)))
+    np.testing.assert_allclose(y, want, rtol=1e-5, atol=1e-6)
+
+
+def test_matmul_act_multi_k_blocks():
+    rng = np.random.default_rng(1)
+    x = (0.05 * rng.standard_normal((64, 700))).astype(np.float32)
+    w = rng.standard_normal((700, 130)).astype(np.float32)
+    b = np.zeros(130, np.float32)
+    y = np.asarray(matmul_act(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                              bk=256))
+    want = 1 / (1 + np.exp(-(x @ w)))
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-5)
+
+
+def test_affine_sigmoid_grad():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((32, 24)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((24, 16)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+
+    def loss_pallas(x, w, b):
+        return jnp.sum(affine_sigmoid(x, w, b) ** 2)
+
+    def loss_ref(x, w, b):
+        return jnp.sum(jax.nn.sigmoid(x @ w + b) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fused_softmax_xent_matches_reference():
+    rng = np.random.default_rng(3)
+    B, C = 100, 135
+    logits = jnp.asarray(rng.standard_normal((B, C)).astype(np.float32) * 3)
+    labels = jnp.asarray(rng.integers(0, C, B).astype(np.int32))
+
+    loss, stats = fused_softmax_xent(logits, labels, 64)
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    want_loss = -jnp.sum(lp[jnp.arange(B), labels])
+    np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
+    want_corr = int(jnp.sum(jnp.argmax(logits, axis=1) == labels))
+    assert int(stats["correct"]) == want_corr
+    assert int(stats["frames"]) == B
+
+    # gradient == softmax - onehot
+    g = jax.grad(lambda l: fused_softmax_xent(l, labels, 64)[0])(logits)
+    want_g = jax.nn.softmax(logits, axis=-1) - jax.nn.one_hot(labels, C)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(want_g),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fold_affine_matches_layered(example01):
+    net = Network.read(str(example01 / "lib" / "Hamm_dct_norm"))
+    folded = fold_transform(net)
+    assert folded is not None
+    sa, M, c = folded
+    assert sa.offsets == tuple(range(-25, 26))
+    assert M.shape == (1173, 598)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((80, 23)).astype(np.float32)
+    got = np.asarray(sa.apply(M, c, jnp.asarray(x)))
+    want = np.asarray(net.forward(x))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fold_affine_rejects_nonlinear():
+    from nnet_asr_tpu.models import Sigmoid, BiasedLinearity
+    net = Network((BiasedLinearity(4, 4), Sigmoid(4, 4)),
+                  [{"weight": np.eye(4, dtype=np.float32),
+                    "bias": np.zeros(4, np.float32)}, {}])
+    assert fold_transform(net) is None
