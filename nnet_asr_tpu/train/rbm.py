@@ -1,0 +1,146 @@
+"""RBM CD-1 pretraining (TRbmCu path), TPU-native.
+
+Functional re-design of CuRbm/CuRbmSparse + the TRbmCu main loop
+(cuRbm.cc:101-174, cuRbmSparse.cc:131-195, TRbmCu.cc:291-357): one jitted
+CD-1 step does propagate → hidden sampling (Bernoulli binarize or Gaussian
+noise, replacing CuRand with the JAX counter PRNG) → reconstruct →
+re-propagate → Hinton-recipe update with momentum + weight decay (and the
+sparsity-target variant's smoothed expected-activity penalty), plus the
+reconstruction-MSE statistic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.components import BERNOULLI, GAUSSIAN, Rbm, RbmSparse
+
+
+@dataclass(frozen=True)
+class RbmTrainConfig:
+    learning_rate: float = 0.10     # TRbmCu.cc:169 defaults
+    momentum: float = 0.50
+    weightcost: float = 0.0002
+    # sparsity variant (cuRbmSparse.h:92-94 defaults)
+    sparsity_prior: float = 0.0001
+    sparsity_lambda: float = 0.95
+    sparsity_cost: float = 1e-7
+
+
+def init_rbm_state(spec: Rbm, params: dict, cfg: RbmTrainConfig) -> dict:
+    st = {
+        "vh_corr": jnp.zeros_like(params["weight"]),
+        "vb_corr": jnp.zeros_like(params["vis_bias"]),
+        "hb_corr": jnp.zeros_like(params["hid_bias"]),
+    }
+    if isinstance(spec, RbmSparse):
+        st["sparsity_q"] = jnp.full_like(params["hid_bias"], cfg.sparsity_prior)
+    return st
+
+
+def apply_rbm_update(spec: Rbm, cfg: RbmTrainConfig, params, state,
+                     pos_vis, pos_hid, neg_vis, neg_hid):
+    """Pure Hinton-recipe CD-1 update (cuRbm.cc:131-174,
+    cuRbmSparse.cc:131-195). Returns (new_params, new_state)."""
+    sparse = isinstance(spec, RbmSparse)
+    w, vb, hb = params["weight"], params["vis_bias"], params["hid_bias"]
+    N = jnp.asarray(pos_vis.shape[0], jnp.float32)
+    lr, mmt, wc = cfg.learning_rate, cfg.momentum, cfg.weightcost
+
+    vh_corr = (mmt * state["vh_corr"]
+               + (lr / N) * (pos_vis.T @ pos_hid - neg_vis.T @ neg_hid)
+               - lr * wc * w)
+    vb_corr = (mmt * state["vb_corr"]
+               + (lr / N) * (jnp.sum(pos_vis, 0) - jnp.sum(neg_vis, 0)))
+    hb_corr = (mmt * state["hb_corr"]
+               + (lr / N) * (jnp.sum(pos_hid, 0) - jnp.sum(neg_hid, 0)))
+
+    new_state = dict(state)
+    if sparse and spec.hid_type == BERNOULLI:
+        q_cur = jnp.sum(pos_hid, 0) / N
+        q = cfg.sparsity_lambda * state["sparsity_q"] \
+            + (1.0 - cfg.sparsity_lambda) * q_cur
+        q_diff = q - cfg.sparsity_prior
+        vis_mean = jnp.sum(pos_vis, 0) / N
+        vh_corr = vh_corr - cfg.sparsity_cost * jnp.outer(vis_mean, q_diff)
+        hb_corr = hb_corr - cfg.sparsity_cost * q_diff
+        new_state["sparsity_q"] = q
+
+    new_params = dict(params)
+    new_params["weight"] = w + vh_corr
+    new_params["vis_bias"] = vb + vb_corr
+    new_params["hid_bias"] = hb + hb_corr
+    new_state.update(vh_corr=vh_corr, vb_corr=vb_corr, hb_corr=hb_corr)
+    return new_params, new_state
+
+
+def sample_hidden(spec: Rbm, key, pos_hid):
+    """Hidden sampling for the negative phase (TRbmCu.cc:332-339)."""
+    if spec.hid_type == BERNOULLI:
+        u = jax.random.uniform(key, pos_hid.shape, dtype=pos_hid.dtype)
+        return (pos_hid > u).astype(pos_hid.dtype)
+    return pos_hid + jax.random.normal(key, pos_hid.shape, dtype=pos_hid.dtype)
+
+
+def make_cd1_step(spec: Rbm, cfg: RbmTrainConfig):
+    """Build a jitted (params, state, key, pos_vis) -> (params, state, mse)."""
+
+    def step(params, state, key, pos_vis):
+        pos_hid = spec.apply(params, pos_vis)
+        hid_sample = sample_hidden(spec, key, pos_hid)
+        neg_vis = spec.reconstruct(params, hid_sample)
+        neg_hid = spec.apply(params, neg_vis)
+        params, state = apply_rbm_update(
+            spec, cfg, params, state, pos_vis, pos_hid, neg_vis, neg_hid)
+        mse = 0.5 * jnp.sum((neg_vis - pos_vis) ** 2)
+        return params, state, mse
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+class RbmTrainer:
+    """Epoch driver: cache of transformed frames → CD-1 bunches."""
+
+    def __init__(self, spec: Rbm, params: dict, cfg: RbmTrainConfig,
+                 bunchsize: int = 256, cachesize: int = 12800,
+                 seed: int = 0, randomize: bool = True):
+        from .cache import FrameCache
+
+        self.spec = spec
+        self.params = {k: jnp.asarray(v) for k, v in params.items()}
+        self.cfg = cfg
+        self.state = init_rbm_state(spec, self.params, cfg)
+        self.step = make_cd1_step(spec, cfg)
+        self.cache = FrameCache(cachesize, bunchsize, seed, randomize)
+        self.key = jax.random.PRNGKey(seed if seed else 12345)
+        self.mse_sum = 0.0
+        self.frames = 0
+
+    def _drain(self):
+        for feats, _labels in self.cache.bunches():
+            self.key, sub = jax.random.split(self.key)
+            self.params, self.state, mse = self.step(
+                self.params, self.state, sub, feats)
+            self.mse_sum += float(mse)
+            self.frames += feats.shape[0]
+
+    def run_epoch(self, utterances) -> None:
+        import numpy as np
+
+        for feats in utterances:
+            n = feats.shape[0]
+            self.cache.add(jnp.asarray(feats),
+                           np.zeros(n, dtype=np.int32))
+            if self.cache.full:
+                self._drain()
+        if self.cache.rows > 0:
+            self._drain()
+
+    def report(self) -> str:
+        return (f"Mse:{self.mse_sum:.10g} frames:{self.frames}"
+                f" err/frm:{self.mse_sum / max(self.frames, 1):.10g}\n")

@@ -1,0 +1,157 @@
+"""Recurrent-network trainer with truncated BPTT (TRecurrentCu path).
+
+The reference trains frame-serially: per frame forward, CE, then a
+truncated BPTT-of-order-K walk over the input history with an immediate
+weight update (TRecurrentCu.cc:355-371, cuRecurrent.cc:86-153). A
+frame-serial Python loop would be the worst possible TPU program, so the
+TPU-native design scans *segments* of K frames: one ``lax.scan`` per
+utterance carries (params, velocity, hidden state) across segments, the
+gradient is truncated at segment boundaries (``stop_gradient`` on the
+carried state), and the update applies per segment instead of per frame.
+This changes the optimization trajectory slightly (documented deviation —
+SURVEY.md §7 "frame-serial recurrent parity"); verify on loss curves, not
+bits.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.components import BlockSoftmax, Recurrent, Softmax
+from ..models.network import Network
+from ..ops.objectives import XentStats
+from .sgd import SgdConfig, apply_updates, init_momentum, layer_lr_factors
+
+
+@dataclass
+class RecurrentTrainerConfig:
+    bptt_order: int = 4              # TRecurrentCu.cc:194 default
+    crossvalidate: bool = False
+    sgd: SgdConfig = field(default_factory=SgdConfig)
+
+
+class RecurrentTrainer:
+    def __init__(self, net: Network, cfg: RecurrentTrainerConfig):
+        net.check_dims()
+        self.net = net
+        self.cfg = cfg
+        self.params = [dict(p) for p in net.params]
+        self.velocity = init_momentum(net, cfg.sgd.momentum)
+        self.factors = tuple(layer_lr_factors(net, cfg.sgd))
+        self.stats = XentStats()
+        self.rec_idx = [i for i, s in enumerate(net.specs)
+                        if isinstance(s, Recurrent)]
+        self._utt_fns = {}
+        self._build()
+
+    def _forward_seg(self, params, x_seg, h_list):
+        """Forward K frames through the stack, scanning recurrent layers."""
+        h_out = list(h_list)
+        h = x_seg
+        ri = 0
+        logits = None
+        for i, spec in enumerate(self.net.specs):
+            if isinstance(spec, Recurrent):
+                h, h_last = spec.apply_with_state(params[i], h, h_list[ri])
+                h_out[ri] = h_last
+                ri += 1
+            elif isinstance(spec, Softmax) and i == len(self.net.specs) - 1:
+                logits = h
+            else:
+                h = spec.apply(params[i], h)
+        if logits is None:
+            logits = h
+        return logits, h_out
+
+    def _build(self):
+        cfg = self.cfg
+        net = self.net
+        factors = self.factors
+        has_softmax = isinstance(net.specs[-1], Softmax)
+        if not has_softmax:
+            raise ValueError("recurrent trainer expects terminal <softmax>")
+        n_out = net.n_outputs
+
+        def seg_loss(params, x_seg, labels_seg, mask_seg, h_list):
+            logits, h_new = self._forward_seg(params, x_seg, h_list)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            rows = jnp.arange(logits.shape[0])
+            picked = lp[rows, labels_seg]
+            loss = -jnp.sum(jnp.where(mask_seg, picked, 0.0))
+            pred = jnp.argmax(logits, axis=-1)
+            stats = {
+                "xent": -jnp.sum(jnp.where(
+                    mask_seg, jnp.maximum(jax.lax.stop_gradient(picked), -1e10),
+                    0.0)),
+                "correct": jnp.sum(jnp.where(mask_seg, pred == labels_seg,
+                                             False).astype(jnp.int32)),
+                "frames": jnp.sum(mask_seg.astype(jnp.int32)),
+            }
+            return loss, (stats, h_new)
+
+        def utt_step(params, velocity, acc, feats, labels, mask):
+            """feats (n_seg, K, D); scan segments, truncating grads at
+            boundaries via stop_gradient on the carried state."""
+            h_init = [jnp.zeros((net.specs[i].n_outputs,), jnp.float32)
+                      for i in self.rec_idx]
+
+            def body(carry, seg):
+                params, velocity, acc, h_list = carry
+                x_seg, l_seg, m_seg = seg
+                h_list = [jax.lax.stop_gradient(h) for h in h_list]
+                if cfg.crossvalidate:
+                    _, (stats, h_new) = seg_loss(params, x_seg, l_seg,
+                                                 m_seg, h_list)
+                else:
+                    (_, (stats, h_new)), grads = jax.value_and_grad(
+                        seg_loss, has_aux=True)(params, x_seg, l_seg,
+                                                m_seg, h_list)
+                    params, velocity = apply_updates(
+                        net, params, velocity, grads, cfg.sgd,
+                        jnp.maximum(stats["frames"], 1), factors)
+                acc = {k: acc[k] + stats[k] for k in acc}
+                return (params, velocity, acc, h_new), None
+
+            (params, velocity, acc, _), _ = jax.lax.scan(
+                body, (params, velocity, acc, h_init), (feats, labels, mask))
+            return params, velocity, acc
+
+        self._utt_step = jax.jit(utt_step, donate_argnums=(0, 1, 2))
+
+    def _zero_acc(self):
+        return {"xent": jnp.zeros((), jnp.float32),
+                "correct": jnp.zeros((), jnp.int32),
+                "frames": jnp.zeros((), jnp.int32)}
+
+    def train_utterance(self, feats: np.ndarray, labels: np.ndarray) -> None:
+        K = self.cfg.bptt_order
+        T, D = feats.shape
+        n_seg = -(-T // K)
+        pad = n_seg * K - T
+        f = np.pad(feats.astype(np.float32), ((0, pad), (0, 0)))
+        l = np.pad(labels.astype(np.int32), (0, pad))
+        m = np.pad(np.ones(T, bool), (0, pad))
+        acc = self._zero_acc()
+        self.params, self.velocity, acc = self._utt_step(
+            self.params, self.velocity, acc,
+            jnp.asarray(f.reshape(n_seg, K, D)),
+            jnp.asarray(l.reshape(n_seg, K)),
+            jnp.asarray(m.reshape(n_seg, K)))
+        self.stats.add(float(acc["xent"]), int(acc["frames"]),
+                       int(acc["correct"]))
+
+    def run_epoch(self, utterances) -> None:
+        for feats, labels in utterances:
+            self.train_utterance(np.asarray(feats), np.asarray(labels))
+
+    def updated_network(self) -> Network:
+        host = [{k: np.asarray(v) for k, v in p.items()} for p in self.params]
+        return Network(self.net.specs, host)
+
+    def report(self) -> str:
+        return self.stats.report()

@@ -1,0 +1,158 @@
+"""RBM CD-1 and recurrent-trainer tests."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import oracle
+from nnet_asr_tpu.models import Network, Rbm, RbmSparse, Recurrent, BiasedLinearity, Softmax
+from nnet_asr_tpu.train.rbm import (RbmTrainConfig, RbmTrainer,
+                                    apply_rbm_update, init_rbm_state,
+                                    make_cd1_step)
+from nnet_asr_tpu.train.recurrent import (RecurrentTrainer,
+                                          RecurrentTrainerConfig)
+from nnet_asr_tpu.train.sgd import SgdConfig
+
+
+def _rbm(rng, nv=10, nh=8, cls=Rbm, **kw):
+    spec = cls(nv, nh, **kw)
+    params = {
+        "weight": (0.1 * rng.standard_normal((nv, nh))).astype(np.float32),
+        "vis_bias": np.zeros(nv, np.float32),
+        "hid_bias": np.zeros(nh, np.float32),
+    }
+    return spec, {k: jnp.asarray(v) for k, v in params.items()}
+
+
+def test_rbm_update_matches_hinton_recipe():
+    rng = np.random.default_rng(0)
+    spec, params = _rbm(rng)
+    cfg = RbmTrainConfig(learning_rate=0.1, momentum=0.5, weightcost=2e-4)
+    state = init_rbm_state(spec, params, cfg)
+    B = 16
+    pos_vis = rng.random((B, 10)).astype(np.float32)
+    pos_hid = rng.random((B, 8)).astype(np.float32)
+    neg_vis = rng.random((B, 10)).astype(np.float32)
+    neg_hid = rng.random((B, 8)).astype(np.float32)
+
+    # two updates to exercise momentum
+    p, s = params, state
+    for _ in range(2):
+        p, s = apply_rbm_update(spec, cfg, p, s,
+                                jnp.asarray(pos_vis), jnp.asarray(pos_hid),
+                                jnp.asarray(neg_vis), jnp.asarray(neg_hid))
+
+    # NumPy oracle (cuRbm.cc:131-174)
+    w = np.asarray(params["weight"]).copy()
+    vb = np.zeros(10, np.float32); hb = np.zeros(8, np.float32)
+    vhc = np.zeros_like(w); vbc = np.zeros_like(vb); hbc = np.zeros_like(hb)
+    lr, mmt, wc, N = 0.1, 0.5, 2e-4, float(B)
+    for _ in range(2):
+        vhc = mmt * vhc + lr / N * (pos_vis.T @ pos_hid - neg_vis.T @ neg_hid) - lr * wc * w
+        w = w + vhc
+        vbc = mmt * vbc + lr / N * (pos_vis.sum(0) - neg_vis.sum(0))
+        vb = vb + vbc
+        hbc = mmt * hbc + lr / N * (pos_hid.sum(0) - neg_hid.sum(0))
+        hb = hb + hbc
+    np.testing.assert_allclose(np.asarray(p["weight"]), w, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p["vis_bias"]), vb, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p["hid_bias"]), hb, rtol=1e-5, atol=1e-7)
+
+
+def test_rbm_sparse_update_pushes_activity_down():
+    rng = np.random.default_rng(1)
+    spec, params = _rbm(rng, cls=RbmSparse)
+    cfg = RbmTrainConfig(learning_rate=0.0, momentum=0.0, weightcost=0.0,
+                         sparsity_cost=0.1, sparsity_prior=0.01,
+                         sparsity_lambda=0.0)
+    state = init_rbm_state(spec, params, cfg)
+    B = 4
+    pos_hid = jnp.full((B, 8), 0.9)   # far above the prior
+    z10 = jnp.ones((B, 10)); z8 = pos_hid
+    p, s = apply_rbm_update(spec, cfg, params, state, z10, z8 * 0 + pos_hid,
+                            z10, z8)
+    # hidden bias pushed down toward prior activity
+    assert float(jnp.max(p["hid_bias"])) < 0
+    np.testing.assert_allclose(np.asarray(s["sparsity_q"]), 0.9, rtol=1e-5)
+
+
+def test_cd1_reduces_reconstruction_error():
+    rng = np.random.default_rng(2)
+    spec, params = _rbm(rng, nv=12, nh=16)
+    cfg = RbmTrainConfig(learning_rate=0.2, momentum=0.5, weightcost=2e-4)
+    state = init_rbm_state(spec, params, cfg)
+    step = make_cd1_step(spec, cfg)
+    # structured binary data
+    base = (rng.random((4, 12)) > 0.5).astype(np.float32)
+    data = base[rng.integers(0, 4, 256)]
+    key = jax.random.PRNGKey(0)
+    mses = []
+    for ep in range(60):
+        key, sub = jax.random.split(key)
+        params, state, mse = step(params, state, sub, jnp.asarray(data))
+        mses.append(float(mse))
+    assert np.mean(mses[-5:]) < 0.6 * np.mean(mses[:5])
+
+
+def test_gaussian_visible_rbm():
+    rng = np.random.default_rng(3)
+    spec, params = _rbm(rng, cls=Rbm, vis_type="gauss")
+    cfg = RbmTrainConfig(learning_rate=0.001, momentum=0.0)
+    state = init_rbm_state(spec, params, cfg)
+    step = make_cd1_step(spec, cfg)
+    data = rng.standard_normal((64, 10)).astype(np.float32)
+    p, s, mse = step(params, state, jax.random.PRNGKey(1), jnp.asarray(data))
+    assert np.isfinite(float(mse))
+
+
+def _recurrent_net(rng, din=4, dh=6, dout=3):
+    specs = (Recurrent(din, dh), BiasedLinearity(dh, dout),
+             Softmax(dout, dout))
+    params = [
+        {"weight": (0.3 * rng.standard_normal((din + dh, dh))).astype(np.float32),
+         "bias": np.zeros(dh, np.float32)},
+        {"weight": (0.3 * rng.standard_normal((dh, dout))).astype(np.float32),
+         "bias": np.zeros(dout, np.float32)},
+        {},
+    ]
+    return Network(specs, params)
+
+
+def _toy_sequences(rng, n=12, T=40, din=4, dout=3):
+    """Label = index of the input channel active a few frames ago."""
+    utts = []
+    for _ in range(n):
+        x = np.zeros((T, din), np.float32)
+        ch = rng.integers(0, dout, T)
+        x[np.arange(T), ch] = 1.0
+        labels = np.roll(ch, 1); labels[0] = ch[0]
+        utts.append((x, labels.astype(np.int32)))
+    return utts
+
+
+def test_recurrent_trainer_learns():
+    rng = np.random.default_rng(4)
+    net = _recurrent_net(rng)
+    cfg = RecurrentTrainerConfig(
+        bptt_order=4, sgd=SgdConfig(learning_rate=0.5, grad_div_frm=True))
+    tr = RecurrentTrainer(net, cfg)
+    utts = _toy_sequences(rng)
+    accs = []
+    for epoch in range(8):
+        tr.stats = type(tr.stats)()
+        tr.run_epoch(iter(utts))
+        accs.append(tr.stats.accuracy)
+    assert accs[-1] > accs[0] + 10.0, accs
+
+
+def test_recurrent_crossvalidate_no_update():
+    rng = np.random.default_rng(5)
+    net = _recurrent_net(rng)
+    cfg = RecurrentTrainerConfig(bptt_order=4, crossvalidate=True)
+    tr = RecurrentTrainer(net, cfg)
+    utts = _toy_sequences(rng, n=3)
+    tr.run_epoch(iter(utts))
+    np.testing.assert_allclose(np.asarray(tr.params[0]["weight"]),
+                               np.asarray(net.params[0]["weight"]))
+    assert tr.stats.frames == 3 * 40
