@@ -1,0 +1,144 @@
+"""HTK SLF (Standard Lattice Format) reading/writing.
+
+Host-side lattice I/O for the MPE path, replacing STK's ReadSTKNetwork
+(STKLib/DecoderNetwork_IO.tcc) for the subset TMpeCu exercises: phone/word
+lattices with node times and arc scores. Supports labels on arcs (``W=`` on
+J lines) or on nodes, ``a=`` acoustic and ``l=`` LM scores, and in-header
+``lmscale``/``wdpenalty``.
+"""
+
+from __future__ import annotations
+
+import gzip
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, TextIO
+
+
+@dataclass
+class LatticeNode:
+    time: float = 0.0      # seconds
+    word: Optional[str] = None
+
+
+@dataclass
+class LatticeArc:
+    start: int
+    end: int
+    word: Optional[str] = None
+    acoustic: float = 0.0
+    lm: float = 0.0
+
+
+@dataclass
+class Lattice:
+    nodes: List[LatticeNode] = field(default_factory=list)
+    arcs: List[LatticeArc] = field(default_factory=list)
+    header: Dict[str, str] = field(default_factory=dict)
+
+    @property
+    def lmscale(self) -> float:
+        return float(self.header.get("lmscale", 1.0))
+
+    def frame(self, node: int, rate: float = 100.0) -> int:
+        """Node time in frames (default 100 fps)."""
+        return int(round(self.nodes[node].time * rate))
+
+    def arc_word(self, arc: LatticeArc) -> Optional[str]:
+        if arc.word is not None:
+            return arc.word
+        return self.nodes[arc.end].word
+
+    def topo_check(self) -> None:
+        for a in self.arcs:
+            if self.nodes[a.start].time > self.nodes[a.end].time:
+                raise ValueError("lattice arc goes backwards in time")
+
+
+_FIELD_RE = re.compile(r'(\S+?)=("(?:[^"\\]|\\.)*"|\S+)')
+
+
+def _fields(line: str) -> Dict[str, str]:
+    out = {}
+    for k, v in _FIELD_RE.findall(line):
+        if v.startswith('"') and v.endswith('"'):
+            v = v[1:-1]
+        out[k] = v
+    return out
+
+
+def read_slf(source) -> Lattice:
+    """Parse an SLF lattice from a path or file object."""
+    if isinstance(source, str):
+        opener = gzip.open if source.endswith(".gz") else open
+        with opener(source, "rt") as f:
+            return read_slf(f)
+    lat = Lattice()
+    n_nodes = n_arcs = None
+    for raw in source:
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        f = _fields(line)
+        if "I" in f:
+            idx = int(f["I"])
+            while len(lat.nodes) <= idx:
+                lat.nodes.append(LatticeNode())
+            lat.nodes[idx] = LatticeNode(time=float(f.get("t", 0.0)),
+                                         word=f.get("W"))
+        elif "J" in f:
+            lat.arcs.append(LatticeArc(
+                start=int(f["S"]), end=int(f["E"]), word=f.get("W"),
+                acoustic=float(f.get("a", 0.0)), lm=float(f.get("l", 0.0))))
+        else:
+            for k, v in f.items():
+                if k == "N":
+                    n_nodes = int(v)
+                elif k == "L":
+                    n_arcs = int(v)
+                else:
+                    lat.header[k] = v
+    if n_nodes is not None and len(lat.nodes) != n_nodes:
+        raise ValueError(f"SLF declares N={n_nodes} nodes, found {len(lat.nodes)}")
+    if n_arcs is not None and len(lat.arcs) != n_arcs:
+        raise ValueError(f"SLF declares L={n_arcs} arcs, found {len(lat.arcs)}")
+    lat.topo_check()
+    return lat
+
+
+def write_slf(lat: Lattice, out: TextIO) -> None:
+    out.write("VERSION=1.0\n")
+    for k, v in lat.header.items():
+        out.write(f"{k}={v}\n")
+    out.write(f"N={len(lat.nodes)}\tL={len(lat.arcs)}\n")
+    for i, n in enumerate(lat.nodes):
+        w = f"\tW={n.word}" if n.word is not None else ""
+        out.write(f"I={i}\tt={n.time:.2f}{w}\n")
+    for j, a in enumerate(lat.arcs):
+        w = f"\tW={a.word}" if a.word is not None else ""
+        out.write(f"J={j}\tS={a.start}\tE={a.end}{w}\ta={a.acoustic:.4f}"
+                  f"\tl={a.lm:.4f}\n")
+
+
+class LatticeArchive:
+    """Directory- or MLF-style access to per-utterance lattices.
+
+    The reference fetches numerator/denominator lattices per utterance from
+    label-style files (TMpeCu.cc:516-544); here lattices live as
+    ``<dir>/<name>.<ext>`` (optionally .gz).
+    """
+
+    def __init__(self, directory: str, ext: str = "lat"):
+        self.directory = directory
+        self.ext = ext
+
+    def get(self, logical: str) -> Lattice:
+        import os
+
+        base = os.path.splitext(os.path.basename(logical))[0]
+        for suffix in (self.ext, self.ext + ".gz"):
+            path = os.path.join(self.directory, base + "." + suffix)
+            if os.path.exists(path):
+                return read_slf(path)
+        raise FileNotFoundError(
+            f"No lattice for {logical} in {self.directory} (.{self.ext})")

@@ -1,0 +1,184 @@
+"""TMpe — MPE/sMBR lattice sequence-training CLI (TMpeCu.cc equivalent,
+SNAME "TMPECU").
+
+Per utterance (TMpeCu.cc:461-672): forward transform+net on device → log
+posteriors to host → lattice forward-backward with MPE accuracy statistics
+(train/mpe.py) → ``err = -OUTPSCALE * gamma_mpe`` back to the device →
+backprop + SGD update through the softmax-identity path. ``--MLGAMMA``
+switches to plain ML occupancy accumulation. Lattices come from
+``--LATTICEDIR/--LATTICEEXT`` as SLF files (the STK-network-from-MLF
+transport of the reference is replaced by the standard lattice archive
+layout); the reference phone segmentation for accuracy comes from the
+``-I`` state-label MLF.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..io.htk_hmm import parse_mmf
+from ..io.labels import LabelRepository
+from ..io.scp import parse_scp_entry, read_scp
+from ..io.slf import LatticeArchive
+from ..models.components import Softmax
+from ..models.network import Network
+from ..train.mpe import MpeComputer, MpeConfig, labels_to_phone_segments
+from ..train.pipeline import TransformPipeline
+from ..train.sgd import SgdConfig, apply_updates, init_momentum, layer_lr_factors
+from ..utils.config import UserInterface
+
+OPTION_STRING = (
+    " -m r   OUTPUTLABELMAP"
+    " -n r   LEARNINGRATE"
+    " -D n   PRINTCONFIG=TRUE"
+    " -H l   SOURCEMMF"
+    " -I r   SOURCEMLF"
+    " -L r   SOURCETRANSCDIR"
+    " -S l   SCRIPT"
+    " -T r   TRACE"
+    " -V n   PRINTVERSION=TRUE"
+    " -X r   SOURCETRANSCEXT"
+)
+
+SNAME = "TMPECU"
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv if argv is None else argv)
+    ui = UserInterface()
+    args_parsed = ui.parse_options(argv, OPTION_STRING, SNAME)
+
+    reader, feaparams = ui.make_feature_reader()
+    p_hmm = ui.get_str("HMM")
+    p_mlf = ui.get_str("SOURCEMLF")
+    p_label_map = ui.get_str("OUTPUTLABELMAP")
+    p_lbl_dir = ui.get_str("SOURCETRANSCDIR")
+    p_lbl_ext = ui.get_str("SOURCETRANSCEXT", "lab")
+    p_lat_dir = ui.get_str("LATTICEDIR")
+    p_lat_ext = ui.get_str("LATTICEEXT", "lat")
+    p_source_mmf = ui.get_str("SOURCEMMF")
+    p_transform = ui.get_str("FEATURETRANSFORM")
+    p_targetmmf = ui.get_str("TARGETMMF")
+    p_script = ui.get_str("SCRIPT")
+    outprb_scale = ui.get_flt("OUTPSCALE", 1.0)
+    lm_scale = ui.get_flt("LMSCALE", 1.0)
+    learning_rate = ui.get_flt("LEARNINGRATE", 0.06)
+    lr_factors = ui.get_str("LEARNRATEFACTORS", None)
+    weightcost = ui.get_flt("WEIGHTCOST", 0.0)
+    grad_div_frm = ui.get_bool("GRADDIVFRM", True)
+    ml_gamma = ui.get_bool("MLGAMMA", False)
+    show_gamma = ui.get_bool("SHOWGAMMA", False)
+    trace = ui.get_int("TRACE", 0)
+    if ui.get_bool("PRINTCONFIG", False):
+        ui.print_config()
+    ui.check_command_line_param_use()
+
+    for req, msg in ((p_source_mmf, "Source MMF must be specified [-H]"),
+                     (p_hmm, "HMM MMF must be specified [--HMM]"),
+                     (p_mlf, "Source MLF missing [-I]"),
+                     (p_label_map, "Output label map missing [-m]"),
+                     (p_lat_dir, "Lattice dir missing [--LATTICEDIR]")):
+        if req is None:
+            raise SystemExit(msg)
+
+    net = Network.read(p_source_mmf)
+    if not isinstance(net.specs[-1], Softmax):
+        raise SystemExit("MPE training expects a terminal <softmax>")
+    transform = Network.read(p_transform) if p_transform else None
+    pipe = TransformPipeline(transform, feaparams["start_frm_ext"],
+                             feaparams["end_frm_ext"])
+    labels_repo = LabelRepository(p_mlf, p_label_map, p_lbl_dir, p_lbl_ext)
+    label_names = [None] * labels_repo.n_outputs
+    for tag, idx in labels_repo.label_map.items():
+        label_names[idx] = tag
+
+    hmms = parse_mmf(p_hmm)
+    mpe = MpeComputer(hmms, labels_repo.label_map,
+                      MpeConfig(lm_scale=lm_scale, outprb_scale=outprb_scale,
+                                ml_gamma=ml_gamma))
+    lattices = LatticeArchive(p_lat_dir, p_lat_ext)
+
+    entries = read_scp(p_script) if p_script else []
+    for extra in argv[args_parsed:]:
+        entries.append(parse_scp_entry(extra))
+
+    sgd_cfg = SgdConfig(learning_rate=learning_rate, weightcost=weightcost,
+                        grad_div_frm=grad_div_frm,
+                        lr_factors=SgdConfig.parse_factors(lr_factors))
+    factors = tuple(layer_lr_factors(net, sgd_cfg))
+    params = [{k: jnp.asarray(v) for k, v in p.items()} for p in net.params]
+    velocity = init_momentum(net, sgd_cfg.momentum)
+    body_specs = net.specs[:-1]
+
+    def forward(params, x):
+        for spec, p in zip(body_specs, params):
+            x = spec.apply(p, x)
+        return x        # logits (pre-softmax)
+
+    forward_j = jax.jit(forward)
+
+    def update(params, velocity, feats, err):
+        # backprop the externally-computed error through the logits
+        # (softmax backward = identity, as the reference does)
+        def surrogate(params):
+            logits = forward(params, feats)
+            return jnp.sum(logits * err)
+        grads = jax.grad(surrogate)(params)
+        return apply_updates(net, params, velocity, grads, sgd_cfg,
+                             feats.shape[0], factors)
+
+    update_j = jax.jit(update, donate_argnums=(0, 1))
+
+    print("===== TMpe TRAINING STARTED =====")
+    t0 = time.time()
+    frames = 0
+    acc_sum = 0.0
+    n_utts = 0
+    t_decode = 0.0
+    for e in entries:
+        feats_ext = reader.read(e.physical, e.logical)
+        feats = pipe([feats_ext])[0]
+        logits = forward_j(params, feats)
+        log_post = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+        T = log_post.shape[0]
+
+        labs = labels_repo.get_frame_labels(
+            T, reader.last_header.sample_period, e.logical)
+        ref_segments = labels_to_phone_segments(labs, label_names)
+        lat = lattices.get(e.logical)
+
+        td = time.time()
+        gammas, avg_acc, _ = mpe.compute(lat, log_post, ref_segments,
+                                         utt_weight=e.weight)
+        t_decode += time.time() - td
+        if show_gamma:
+            print(f"{e.logical}: avgAcc {avg_acc:.4f}")
+
+        err = jnp.asarray(-outprb_scale * gammas)
+        params, velocity = update_j(params, velocity, feats, err)
+        frames += T
+        acc_sum += avg_acc
+        n_utts += 1
+        if trace & 2:
+            print(".", end="", flush=True)
+
+    if p_targetmmf:
+        host = [{k: np.asarray(v) for k, v in p.items()} for p in params]
+        Network(net.specs, host).write(p_targetmmf)
+
+    dt = time.time() - t0
+    fps = frames / max(dt, 1e-9)
+    print(f"\n===== TMpe FINISHED ( {dt:.1f}s ) "
+          f"[FPS:{fps:.1f},RT:{fps / 100.0:.4f}] =====")
+    print(f"Avg MPE accuracy: {acc_sum / max(n_utts, 1):.6g} "
+          f"utts: {n_utts} T-decode: {t_decode:.2f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,276 @@
+"""MPE / sMBR lattice forward-backward sequence training (TMpeCu path).
+
+Architecture mirrors the reference's split (TMpeCu.cc:461-672): the NN
+forward runs on the accelerator, log posteriors come to the host, the
+lattice recursions run host-side (STK's token-passing decoder was also
+host code), and the resulting ``err = -kappa * gamma_mpe`` matrix goes back
+to the device for backprop through the softmax-identity path.
+
+The recursions re-implement Decoder::GetMpeGamma's math
+(Decoder.tcc:2443-2578 forward-backward, 3136-3266 gamma scatter) on
+phone-arc lattices in a dense, vectorizable form:
+
+  * within-arc state-level forward-backward over the phone HMM's emitting
+    states (left-to-right with <TRANSP> probabilities), emissions =
+    kappa-scaled senone log posteriors — yields the arc acoustic
+    log-likelihood and per-frame state occupancies;
+  * lattice-level log-space alpha/beta over nodes → arc posteriors
+    gamma_q;
+  * MPE accuracy statistics (AlphaBetaMPE analog): per-arc raw accuracy
+    against the reference phone segmentation using Povey's approximate
+    phone accuracy, accuracy-weighted alpha_acc/beta_acc means, and
+    gamma_mpe_q = gamma_q * (alpha_acc + c_q + beta_acc - c_avg);
+  * scatter into the (frame, senone) gamma matrix through the within-arc
+    occupancies. ``--MLGAMMA`` mode accumulates plain occupancies instead
+    (TMpeCu.cc:564-566).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..io.htk_hmm import Hmm
+from ..io.slf import Lattice
+
+LOG_ZERO = -1e30
+
+
+def _logsumexp(a: np.ndarray) -> float:
+    m = np.max(a)
+    if m <= LOG_ZERO:
+        return LOG_ZERO
+    return float(m + np.log(np.sum(np.exp(a - m))))
+
+
+@dataclass
+class MpeConfig:
+    lm_scale: float = 1.0
+    outprb_scale: float = 1.0          # kappa (acoustic/posterior scale)
+    ml_gamma: bool = False             # plain ML occupancy accumulation
+    frame_rate: float = 100.0
+
+
+@dataclass
+class ArcInfo:
+    start: int
+    end: int
+    t0: int
+    t1: int                            # exclusive
+    phone: str
+    senones: List[int]
+    log_like: float = LOG_ZERO
+    occupancy: Optional[np.ndarray] = None   # (t1-t0, n_emitting)
+    score: float = LOG_ZERO            # log_like + lm contribution
+    accuracy: float = 0.0
+
+
+def arc_forward_backward(log_obs: np.ndarray, transp: np.ndarray):
+    """State-level FB within one arc.
+
+    ``log_obs``: (T, S) kappa-scaled emission log-probs for the S emitting
+    states; ``transp``: (S+2, S+2) HTK transition probabilities (entry row
+    0, exit col S+1). Returns (log_likelihood, occupancy (T, S)).
+    """
+    T, S = log_obs.shape
+    with np.errstate(divide="ignore"):
+        lt = np.where(transp > 0, np.log(np.maximum(transp, 1e-300)), LOG_ZERO)
+    # alpha over emitting states 1..S (matrix indices 1..S)
+    alpha = np.full((T, S), LOG_ZERO)
+    alpha[0] = lt[0, 1:S + 1] + log_obs[0]
+    for t in range(1, T):
+        # logsumexp over predecessor states
+        prev = alpha[t - 1][:, None] + lt[1:S + 1, 1:S + 1]
+        m = prev.max(axis=0)
+        good = m > LOG_ZERO / 2
+        acc = np.where(good,
+                       m + np.log(np.sum(np.exp(prev - m[None, :]), axis=0)
+                                  + 1e-300),
+                       LOG_ZERO)
+        alpha[t] = acc + log_obs[t]
+    exit_scores = alpha[T - 1] + lt[1:S + 1, S + 1]
+    log_like = _logsumexp(exit_scores)
+    if log_like <= LOG_ZERO / 2:
+        return LOG_ZERO, np.zeros((T, S))
+
+    beta = np.full((T, S), LOG_ZERO)
+    beta[T - 1] = lt[1:S + 1, S + 1]
+    for t in range(T - 2, -1, -1):
+        nxt = lt[1:S + 1, 1:S + 1] + (log_obs[t + 1] + beta[t + 1])[None, :]
+        m = nxt.max(axis=1)
+        good = m > LOG_ZERO / 2
+        beta[t] = np.where(good,
+                           m + np.log(np.sum(np.exp(nxt - m[:, None]), axis=1)
+                                      + 1e-300),
+                           LOG_ZERO)
+    occ = np.exp(np.clip(alpha + beta - log_like, -700, 0))
+    occ[occ < 1e-300] = 0.0
+    # normalize tiny numeric drift per frame
+    sums = occ.sum(axis=1, keepdims=True)
+    occ = np.divide(occ, sums, out=np.zeros_like(occ), where=sums > 0)
+    return log_like, occ
+
+
+def povey_phone_accuracy(phone: str, t0: int, t1: int,
+                         ref: Sequence[Tuple[int, int, str]]) -> float:
+    """Approximate raw phone accuracy (Povey 2002):
+    max over ref phones z of (-1 + 2e) if same phone else (-1 + e),
+    e = overlap(q, z) / len(z)."""
+    best = -1.0
+    for (r0, r1, rp) in ref:
+        if r1 <= t0 or r0 >= t1:
+            continue
+        e = (min(t1, r1) - max(t0, r0)) / max(r1 - r0, 1)
+        acc = -1.0 + (2.0 * e if rp == phone else e)
+        best = max(best, acc)
+    return best
+
+
+def labels_to_phone_segments(frame_labels: np.ndarray,
+                             label_names: Sequence[str]):
+    """Collapse per-frame state labels into (start, end, phone) segments;
+    phone = state tag with the trailing ``_sN`` stripped."""
+    import re
+
+    segs = []
+    prev = None
+    start = 0
+    phones = [re.sub(r"_s\d+$", "", label_names[l]) for l in frame_labels]
+    for i, p in enumerate(phones):
+        if p != prev:
+            if prev is not None:
+                segs.append((start, i, prev))
+            prev, start = p, i
+    if prev is not None:
+        segs.append((start, len(phones), prev))
+    return segs
+
+
+class MpeComputer:
+    def __init__(self, hmms: Dict[str, Hmm], label_map: Dict[str, int],
+                 cfg: MpeConfig):
+        self.hmms = hmms
+        self.label_map = label_map
+        self.cfg = cfg
+        self._senone_cache = {
+            name: h.senone_ids(label_map) for name, h in hmms.items()}
+
+    # ------------------------------------------------------------------
+    def _prepare_arcs(self, lat: Lattice, log_post: np.ndarray) -> List[ArcInfo]:
+        T = log_post.shape[0]
+        arcs = []
+        for a in lat.arcs:
+            phone = lat.arc_word(a)
+            t0 = min(lat.frame(a.start, self.cfg.frame_rate), T)
+            t1 = min(lat.frame(a.end, self.cfg.frame_rate), T)
+            if phone is None or phone in ("!NULL", "<s>", "</s>"):
+                arcs.append(ArcInfo(a.start, a.end, t0, t1, phone or "!NULL",
+                                    [], log_like=0.0,
+                                    score=self.cfg.lm_scale * a.lm))
+                continue
+            if phone not in self.hmms:
+                raise KeyError(f"Phone '{phone}' not in HMM set")
+            ids = self._senone_cache[phone]
+            if t1 <= t0:
+                raise ValueError(f"Zero-length arc for phone {phone}")
+            obs = self.cfg.outprb_scale * log_post[t0:t1][:, ids]
+            ll, occ = arc_forward_backward(obs, self.hmms[phone].transp)
+            arcs.append(ArcInfo(a.start, a.end, t0, t1, phone, list(ids),
+                                log_like=ll, occupancy=occ,
+                                score=ll + self.cfg.lm_scale * a.lm))
+        return arcs
+
+    # ------------------------------------------------------------------
+    def compute(self, lat: Lattice, log_post: np.ndarray,
+                ref_segments: Sequence[Tuple[int, int, str]],
+                utt_weight: float = 1.0,
+                frame_weights: Optional[np.ndarray] = None):
+        """Returns (gammas (T, C), avg_accuracy, log_prob)."""
+        T, C = log_post.shape
+        arcs = self._prepare_arcs(lat, log_post)
+        n = len(lat.nodes)
+
+        in_arcs: List[List[int]] = [[] for _ in range(n)]
+        out_arcs: List[List[int]] = [[] for _ in range(n)]
+        for i, a in enumerate(arcs):
+            in_arcs[a.end].append(i)
+            out_arcs[a.start].append(i)
+
+        order = sorted(range(n), key=lambda i: (lat.nodes[i].time, i))
+        start_nodes = [i for i in range(n) if not in_arcs[i]]
+        end_nodes = [i for i in range(n) if not out_arcs[i]]
+
+        # ---- alpha/beta over nodes -----------------------------------
+        alpha = np.full(n, LOG_ZERO)
+        for i in start_nodes:
+            alpha[i] = 0.0
+        for i in order:
+            if in_arcs[i]:
+                alpha[i] = _logsumexp(np.array(
+                    [alpha[arcs[q].start] + arcs[q].score for q in in_arcs[i]]))
+        beta = np.full(n, LOG_ZERO)
+        for i in end_nodes:
+            beta[i] = 0.0
+        for i in reversed(order):
+            if out_arcs[i]:
+                beta[i] = _logsumexp(np.array(
+                    [arcs[q].score + beta[arcs[q].end] for q in out_arcs[i]]))
+        logZ = _logsumexp(np.array([alpha[i] for i in end_nodes]))
+        if logZ <= LOG_ZERO / 2:
+            raise FloatingPointError("lattice forward-backward underflow "
+                                     "(overpruning?)")
+
+        gamma_q = np.array([
+            np.exp(np.clip(alpha[a.start] + a.score + beta[a.end] - logZ,
+                           -700, 0)) for a in arcs])
+
+        # ---- MPE accuracy recursions ---------------------------------
+        for a in arcs:
+            a.accuracy = (povey_phone_accuracy(a.phone, a.t0, a.t1,
+                                               ref_segments)
+                          if a.senones else 0.0)
+
+        alpha_acc = np.zeros(n)
+        for i in order:
+            if in_arcs[i]:
+                ws = np.array([alpha[arcs[q].start] + arcs[q].score
+                               for q in in_arcs[i]])
+                w = np.exp(ws - _logsumexp(ws))
+                vals = np.array([alpha_acc[arcs[q].start] + arcs[q].accuracy
+                                 for q in in_arcs[i]])
+                alpha_acc[i] = float(np.sum(w * vals))
+        beta_acc = np.zeros(n)
+        for i in reversed(order):
+            if out_arcs[i]:
+                ws = np.array([arcs[q].score + beta[arcs[q].end]
+                               for q in out_arcs[i]])
+                w = np.exp(ws - _logsumexp(ws))
+                vals = np.array([arcs[q].accuracy + beta_acc[arcs[q].end]
+                                 for q in out_arcs[i]])
+                beta_acc[i] = float(np.sum(w * vals))
+
+        end_ws = np.array([alpha[i] for i in end_nodes])
+        end_w = np.exp(end_ws - logZ)
+        c_avg = float(np.sum(end_w * np.array([alpha_acc[i]
+                                               for i in end_nodes])))
+
+        # ---- scatter into (frame, senone) ----------------------------
+        gammas = np.zeros((T, C), dtype=np.float64)
+        fw = frame_weights if frame_weights is not None else np.ones(T)
+        for gq, a in zip(gamma_q, arcs):
+            if not a.senones or a.occupancy is None:
+                continue
+            if self.cfg.ml_gamma:
+                coef = gq
+            else:
+                coef = gq * (alpha_acc[a.start] + a.accuracy
+                             + beta_acc[a.end] - c_avg)
+            if coef == 0.0:
+                continue
+            seg = (coef * utt_weight) * a.occupancy \
+                * fw[a.t0:a.t1][:, None]
+            for j, sid in enumerate(a.senones):
+                gammas[a.t0:a.t1, sid] += seg[:, j]
+        return gammas.astype(np.float32), c_avg, logZ

@@ -1,0 +1,202 @@
+"""MPE lattice forward-backward tests against brute-force oracles."""
+
+import io
+
+import numpy as np
+import pytest
+
+from nnet_asr_tpu.io.htk_hmm import Hmm, parse_mmf
+from nnet_asr_tpu.io.slf import Lattice, LatticeArc, LatticeNode, read_slf, write_slf
+from nnet_asr_tpu.train.mpe import (MpeComputer, MpeConfig,
+                                    arc_forward_backward,
+                                    labels_to_phone_segments,
+                                    povey_phone_accuracy)
+
+
+def _hmm(name, n_emit=1, self_loop=0.5, senone_names=None):
+    n = n_emit + 2
+    tp = np.zeros((n, n))
+    tp[0, 1] = 1.0
+    for i in range(1, n - 1):
+        tp[i, i] = self_loop
+        tp[i, i + 1] = 1.0 - self_loop
+    return Hmm(name=name, n_states=n, transp=tp,
+               state_names=senone_names or [f"{name}_s{i+2}" for i in range(n_emit)])
+
+
+def test_arc_fb_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    T, S = 5, 2
+    log_obs = rng.standard_normal((T, S))
+    hmm = _hmm("a", n_emit=S, self_loop=0.4)
+    ll, occ = arc_forward_backward(log_obs, hmm.transp)
+
+    # brute force over all state paths (left-to-right, no skips)
+    tp = hmm.transp
+    paths = []
+    def rec(t, s, lp, path):
+        lp = lp + log_obs[t, s - 1]
+        path = path + [s]
+        if t == T - 1:
+            if tp[s, S + 1] > 0:
+                paths.append((lp + np.log(tp[s, S + 1]), path))
+            return
+        for s2 in range(1, S + 1):
+            if tp[s, s2] > 0:
+                rec(t + 1, s2, lp + np.log(tp[s, s2]), path)
+    rec(0, 1, np.log(tp[0, 1]), [])
+    lls = np.array([p[0] for p in paths])
+    want_ll = np.max(lls) + np.log(np.sum(np.exp(lls - np.max(lls))))
+    np.testing.assert_allclose(ll, want_ll, rtol=1e-10)
+
+    # occupancy oracle
+    want_occ = np.zeros((T, S))
+    for lp, path in paths:
+        w = np.exp(lp - want_ll)
+        for t, s in enumerate(path):
+            want_occ[t, s - 1] += w
+    np.testing.assert_allclose(occ, want_occ, atol=1e-10)
+
+
+def test_povey_accuracy():
+    ref = [(0, 10, "a"), (10, 20, "b")]
+    assert povey_phone_accuracy("a", 0, 10, ref) == 1.0      # exact match
+    assert povey_phone_accuracy("b", 0, 10, ref) == 0.0      # wrong phone, full overlap
+    assert povey_phone_accuracy("a", 5, 15, ref) == 0.0      # half overlap: -1+2*0.5
+    assert povey_phone_accuracy("c", 0, 10, ref) == 0.0      # wrong phone anywhere
+    assert povey_phone_accuracy("a", 12, 18, ref) == pytest.approx(-0.4)
+
+
+def test_labels_to_segments():
+    labels = np.array([0, 0, 1, 1, 2])
+    names = ["a_s2", "a_s3", "b_s2"]
+    assert labels_to_phone_segments(labels, names) == [(0, 4, "a"), (4, 5, "b")]
+
+
+def _simple_lattice(arcs, times):
+    lat = Lattice()
+    lat.nodes = [LatticeNode(time=t) for t in times]
+    lat.arcs = [LatticeArc(start=s, end=e, word=w, lm=lm)
+                for (s, e, w, lm) in arcs]
+    return lat
+
+
+def _setup(T=10, C=4):
+    hmms = {"a": _hmm("a"), "b": _hmm("b")}
+    label_map = {"a_s2": 0, "b_s2": 1, "c_s2": 2, "d_s2": 3}
+    return hmms, label_map
+
+
+def test_single_path_lattice_gives_zero_mpe_gamma():
+    hmms, label_map = _setup()
+    rng = np.random.default_rng(1)
+    T, C = 10, 4
+    log_post = np.log(rng.dirichlet(np.ones(C), size=T)).astype(np.float32)
+    lat = _simple_lattice([(0, 1, "a", 0.0), (1, 2, "b", 0.0)],
+                          [0.0, 0.05, 0.10])
+    ref = [(0, 5, "a"), (5, 10, "b")]
+    comp = MpeComputer(hmms, label_map, MpeConfig())
+    gammas, c_avg, logZ = comp.compute(lat, log_post, ref)
+    # only one path: gamma_q = 1 but all accuracy terms equal c_avg → 0
+    np.testing.assert_allclose(gammas, 0.0, atol=1e-9)
+    assert c_avg == pytest.approx(2.0)   # both phones exactly right
+
+
+def test_competing_arcs_sign_and_zero_sum():
+    hmms, label_map = _setup()
+    rng = np.random.default_rng(2)
+    T, C = 10, 4
+    log_post = np.log(rng.dirichlet(np.ones(C), size=T)).astype(np.float32)
+    # two competing arcs over the full span: 'a' (correct) vs 'b' (wrong)
+    lat = _simple_lattice([(0, 1, "a", 0.0), (0, 1, "b", 0.0)], [0.0, 0.10])
+    ref = [(0, 10, "a")]
+    comp = MpeComputer(hmms, label_map, MpeConfig())
+    gammas, c_avg, logZ = comp.compute(lat, log_post, ref)
+    # column 0 ('a' senone) gets positive gamma, column 1 negative
+    assert gammas[:, 0].sum() > 0
+    assert gammas[:, 1].sum() < 0
+    # per-frame sum of mpe-gammas is zero (full-span competing arcs)
+    np.testing.assert_allclose(gammas.sum(axis=1), 0.0, atol=1e-6)
+
+
+def test_ml_gamma_mode_sums_to_one():
+    hmms, label_map = _setup()
+    rng = np.random.default_rng(3)
+    T, C = 10, 4
+    log_post = np.log(rng.dirichlet(np.ones(C), size=T)).astype(np.float32)
+    lat = _simple_lattice([(0, 1, "a", 0.0), (0, 1, "b", 0.0)], [0.0, 0.10])
+    ref = [(0, 10, "a")]
+    comp = MpeComputer(hmms, label_map, MpeConfig(ml_gamma=True))
+    gammas, _, _ = comp.compute(lat, log_post, ref)
+    np.testing.assert_allclose(gammas.sum(axis=1), 1.0, rtol=1e-6)
+
+
+def test_posterior_sensitivity():
+    """Raising the posterior of the correct phone raises its arc gamma."""
+    hmms, label_map = _setup()
+    T, C = 10, 4
+    base = np.full((T, C), np.log(1.0 / C), dtype=np.float32)
+    lat = _simple_lattice([(0, 1, "a", 0.0), (0, 1, "b", 0.0)], [0.0, 0.10])
+    ref = [(0, 10, "a")]
+    comp = MpeComputer(hmms, label_map, MpeConfig())
+    g0, _, _ = comp.compute(lat, base, ref)
+    boosted = base.copy()
+    boosted[:, 0] += 1.0     # boost 'a' senone
+    g1, _, _ = comp.compute(lat, boosted, ref)
+    # with 'a' more likely, the MPE gradient magnitude shrinks
+    assert abs(g1[:, 1].sum()) < abs(g0[:, 1].sum())
+
+
+def test_slf_roundtrip():
+    lat = _simple_lattice([(0, 1, "a", -1.5), (0, 1, "b", -0.5)], [0.0, 0.10])
+    lat.header["lmscale"] = "9.0"
+    buf = io.StringIO()
+    write_slf(lat, buf)
+    lat2 = read_slf(io.StringIO(buf.getvalue()))
+    assert len(lat2.nodes) == 2 and len(lat2.arcs) == 2
+    assert lat2.arcs[0].word == "a"
+    assert lat2.arcs[1].lm == -0.5
+    assert lat2.lmscale == 9.0
+
+
+def test_parse_mmf(tmp_path):
+    mmf = tmp_path / "hmms.mmf"
+    mmf.write_text("""
+~o <STREAMINFO> 1 4 <VECSIZE> 4 <USER>
+~h "a"
+<BEGINHMM>
+<NUMSTATES> 3
+<STATE> 2
+<MEAN> 4
+ 0 0 0 0
+<VARIANCE> 4
+ 1 1 1 1
+<TRANSP> 3
+ 0.0 1.0 0.0
+ 0.0 0.6 0.4
+ 0.0 0.0 0.0
+<ENDHMM>
+~h "b"
+<BEGINHMM>
+<NUMSTATES> 4
+<STATE> 2
+~s "b_s2"
+<STATE> 3
+~s "b_s3"
+<TRANSP> 4
+ 0.0 1.0 0.0 0.0
+ 0.0 0.5 0.5 0.0
+ 0.0 0.0 0.5 0.5
+ 0.0 0.0 0.0 0.0
+<ENDHMM>
+""")
+    hmms = parse_mmf(str(mmf))
+    assert set(hmms) == {"a", "b"}
+    assert hmms["a"].n_emitting == 1
+    assert hmms["a"].transp[1, 1] == pytest.approx(0.6)
+    assert hmms["b"].state_names == ["b_s2", "b_s3"]
+    ids = hmms["b"].senone_ids({"b_s2": 7, "b_s3": 9})
+    assert ids == [7, 9]
+    # fallback naming for inline states
+    ids_a = hmms["a"].senone_ids({"a_s2": 3})
+    assert ids_a == [3]

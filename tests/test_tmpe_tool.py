@@ -1,0 +1,121 @@
+"""End-to-end TMpe tool test on a synthetic mini-task."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nnet_asr_tpu.io import htk
+from nnet_asr_tpu.io.mlf import MlfWriter
+from nnet_asr_tpu.io.slf import Lattice, LatticeArc, LatticeNode, write_slf
+from nnet_asr_tpu.models import Network
+
+
+@pytest.fixture(scope="module")
+def mpe_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mpe")
+    rng = np.random.default_rng(0)
+    n_phones, dim = 3, 8
+    phones = ["a", "b", "c"]
+
+    # label map: one emitting state per phone
+    (tmp / "phones.map").write_text("\n".join(f"{p}_s2" for p in phones))
+
+    # HMM MMF: 3-state (1 emitting) per phone
+    with open(tmp / "hmms.mmf", "w") as f:
+        f.write('~o <STREAMINFO> 1 8 <VECSIZE> 8 <USER>\n')
+        for p in phones:
+            f.write(f'~h "{p}"\n<BEGINHMM>\n<NUMSTATES> 3\n<STATE> 2\n'
+                    f'~s "{p}_s2"\n<TRANSP> 3\n'
+                    ' 0.0 1.0 0.0\n 0.0 0.7 0.3\n 0.0 0.0 0.0\n<ENDHMM>\n')
+
+    # 6 utterances: each 20 frames = 2 phone segments of 10
+    utts = []
+    mlf = MlfWriter(str(tmp / "labels.mlf"))
+    os.makedirs(tmp / "feats", exist_ok=True)
+    os.makedirs(tmp / "lats", exist_ok=True)
+    scp_lines = []
+    for u in range(6):
+        seq = rng.permutation(3)[:2]
+        feats = np.zeros((20, dim), np.float32)
+        labels = []
+        for seg, ph in enumerate(seq):
+            # features carry a noisy cue for the phone identity
+            feats[seg * 10:(seg + 1) * 10, ph] = 1.5
+        feats += 0.2 * rng.standard_normal(feats.shape).astype(np.float32)
+        name = f"u{u}"
+        htk.write_htk_file(str(tmp / "feats" / f"{name}.fea"), feats,
+                           htk.PARMKIND_USER)
+        mlf.write_record(f"*/{name}.lab", [
+            f"{seg * 10 * 100000} {(seg + 1) * 10 * 100000} {phones[ph]}_s2"
+            for seg, ph in enumerate(seq)])
+        # denominator lattice: per segment, correct phone + one competitor
+        lat = Lattice()
+        lat.nodes = [LatticeNode(time=0.0), LatticeNode(time=0.1),
+                     LatticeNode(time=0.2)]
+        for seg, ph in enumerate(seq):
+            comp = (ph + 1) % 3
+            lat.arcs.append(LatticeArc(seg, seg + 1, phones[ph], lm=0.0))
+            lat.arcs.append(LatticeArc(seg, seg + 1, phones[comp], lm=0.0))
+        with open(tmp / "lats" / f"{name}.lat", "w") as f:
+            write_slf(lat, f)
+        scp_lines.append(str(tmp / "feats" / f"{name}.fea"))
+        utts.append((name, feats, seq))
+    mlf.close()
+    (tmp / "train.scp").write_text("\n".join(scp_lines) + "\n")
+
+    # weak random init MLP dim->16->3
+    rng2 = np.random.default_rng(1)
+    from nnet_asr_tpu.models import BiasedLinearity, Sigmoid, Softmax
+    specs = (BiasedLinearity(dim, 16), Sigmoid(16, 16),
+             BiasedLinearity(16, 3), Softmax(3, 3))
+    params = [
+        {"weight": (0.2 * rng2.standard_normal((dim, 16))).astype(np.float32),
+         "bias": np.zeros(16, np.float32)}, {},
+        {"weight": (0.2 * rng2.standard_normal((16, 3))).astype(np.float32),
+         "bias": np.zeros(3, np.float32)}, {},
+    ]
+    Network(specs, params).write(str(tmp / "init.mmf"))
+    return tmp, utts
+
+
+def _segment_decision_accuracy(net, utts):
+    """Lattice-level criterion: per segment, does the correct phone's
+    summed log posterior beat its lattice competitor's?"""
+    import oracle
+    corr = tot = 0
+    for name, feats, seq in utts:
+        y = np.log(oracle.forward_network(net, feats) + 1e-30)
+        for seg, ph in enumerate(seq):
+            comp = (ph + 1) % 3
+            sl = slice(seg * 10, (seg + 1) * 10)
+            corr += int(y[sl, ph].sum() > y[sl, comp].sum())
+            tot += 1
+    return corr / tot
+
+
+def test_tmpe_end_to_end(mpe_setup):
+    tmp, utts = mpe_setup
+    from nnet_asr_tpu.tools import tmpe
+
+    net0 = Network.read(str(tmp / "init.mmf"))
+    acc0 = _segment_decision_accuracy(net0, utts)
+
+    src = str(tmp / "init.mmf")
+    for it in range(6):
+        dst = str(tmp / f"mpe{it}.mmf")
+        tmpe.main([
+            "tmpe", "-H", src, "-I", str(tmp / "labels.mlf"),
+            "-L", "*/", "-X", "lab",
+            "-m", str(tmp / "phones.map"),
+            "-S", str(tmp / "train.scp"),
+            "--HMM=" + str(tmp / "hmms.mmf"),
+            "--LATTICEDIR=" + str(tmp / "lats"),
+            "--OUTPSCALE=1.0", "--LEARNINGRATE=2.0",
+            "--TARGETMMF=" + dst])
+        src = dst
+
+    net1 = Network.read(src)
+    acc1 = _segment_decision_accuracy(net1, utts)
+    assert acc1 > acc0, (acc0, acc1)
+    assert acc1 >= 0.6, (acc0, acc1)
