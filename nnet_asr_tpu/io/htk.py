@@ -331,10 +331,80 @@ class FeatureReader:
             return m.group(1), int(m.group(2)), int(m.group(3))
         return physical, None, None
 
+    def _native_fast_read(self, file_name, logical, from_frame, to_frame):
+        """Native read when no parmkind conversion is required, else None."""
+        from . import native
+
+        if not native.available():
+            return None
+        try:
+            n, per, sz, kind = native.read_header(file_name, self.big_endian)
+        except IOError:
+            return None
+        target = self.target_kind
+        if target == PARMKIND_ANON:
+            target = kind
+        elif (target & 0o77) == PARMKIND_ANON:
+            target = (target & ~0o77) | (kind & 0o77)
+        src_deriv = (3 if kind & PARMKIND_T else 2 if kind & PARMKIND_A else
+                     1 if kind & PARMKIND_D else 0)
+        deriv = self.deriv_order if self.deriv_order >= 0 else src_deriv
+        # conversion-free: same qualifiers apart from _Z (sentence CMN)
+        if (target & ~PARMKIND_Z) != (kind & ~PARMKIND_Z) or deriv != src_deriv:
+            return None
+        out = native.read_frames(
+            file_name, self.big_endian,
+            from_frame if from_frame is not None else 0,
+            to_frame if to_frame is not None else -1,
+            self.start_frm_ext, self.end_frm_ext)
+        tot = out.shape[0]
+        coefs_full = out.shape[1] // (src_deriv + 1)
+        if (self.cmn_path is None and not (kind & PARMKIND_Z)
+                and (target & PARMKIND_Z)):
+            seg = out[:, :coefs_full]
+            norm = seg.sum(axis=0, dtype=np.float32) / np.float32(tot)
+            out[:, :coefs_full] = seg - norm[None, :]
+        out = self._apply_norm_files(out, logical, target, coefs_full,
+                                     src_deriv)
+        self.last_header = HtkHeader(tot, per, out.shape[1] * 4, target)
+        return out
+
+    def _apply_norm_files(self, out, logical, full_kind, coefs_full, deriv):
+        trg_vec_size = out.shape[1]
+        if self.cmn_path is not None and self.cmn_mask is not None:
+            key = process_mask(logical, self.cmn_mask)
+            fn = os.path.join(self.cmn_path, key)
+            if fn not in self._cmn_cache:
+                self._cmn_cache[fn] = read_cepsnorm_file(
+                    fn, "MEAN",
+                    full_kind & ~(PARMKIND_D | PARMKIND_A | PARMKIND_T
+                                  | PARMKIND_Z),
+                    coefs_full)
+            out[:, :coefs_full] -= self._cmn_cache[fn][None, :]
+        if self.cvn_path is not None and self.cvn_mask is not None:
+            key = process_mask(logical, self.cvn_mask)
+            fn = os.path.join(self.cvn_path, key)
+            if fn not in self._cvn_cache:
+                self._cvn_cache[fn] = read_cepsnorm_file(
+                    fn, "VARIANCE", full_kind, trg_vec_size)
+            out[:, :trg_vec_size] *= self._cvn_cache[fn][None, :]
+        if self.cvg_file is not None:
+            if self._cvg_cache is None:
+                self._cvg_cache = read_cepsnorm_file(
+                    self.cvg_file, "VARSCALE", None, trg_vec_size)
+            out[:, :trg_vec_size] *= self._cvg_cache[None, :]
+        return out
+
     def read(self, physical: str, logical: Optional[str] = None) -> np.ndarray:
         """Read one utterance with the full pipeline. Returns float32 (T, D)."""
         logical = logical if logical is not None else physical
         file_name, from_frame, to_frame = self.split_range(physical)
+
+        # fast path: raw read + range + extension in native code when no
+        # parmkind conversion / derivative work is needed
+        fast = self._native_fast_read(file_name, logical, from_frame, to_frame)
+        if fast is not None:
+            return fast
 
         data, hdr = read_htk_file(file_name, self.big_endian)
         sample_kind = hdr.sample_kind  # C bit already cleared by read_htk_file

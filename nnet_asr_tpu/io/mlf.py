@@ -22,7 +22,10 @@ class MlfReader:
     """Random-access MLF reader with a name → byte-offset index."""
 
     def __init__(self, path: str):
+        import threading
+
         self.path = path
+        self._lock = threading.Lock()   # seek+read must be atomic
         self._f = open(path, "rb")
         first = self._f.readline().decode("utf-8", "replace").strip()
         if first != "#!MLF!#":
@@ -77,16 +80,17 @@ class MlfReader:
         pos = self._find(name)
         if pos is None:
             raise KeyError(f"Cannot open label MLF record: {name}")
-        self._f.seek(pos)
         lines = []
-        while True:
-            raw = self._f.readline()
-            if not raw:
-                break
-            s = raw.decode("utf-8", "replace").rstrip("\n")
-            if s.strip() == ".":
-                break
-            lines.append(s)
+        with self._lock:
+            self._f.seek(pos)
+            while True:
+                raw = self._f.readline()
+                if not raw:
+                    break
+                s = raw.decode("utf-8", "replace").rstrip("\n")
+                if s.strip() == ".":
+                    break
+                lines.append(s)
         return lines
 
     def read_intervals(self, name: str) -> List[Tuple[int, int, str]]:

@@ -128,12 +128,28 @@ def main(argv=None) -> int:
 
     t0 = time.time()
 
+    import copy
+    import threading
+
+    from ..utils.prefetch import prefetch_map
+
+    # FeatureReader keeps per-read state (last_header, norm caches) → one
+    # instance per reader thread
+    tls = threading.local()
+
+    def read_one(e):
+        rd = getattr(tls, "reader", None)
+        if rd is None:
+            rd = tls.reader = copy.copy(reader)
+        feats = rd.read(e.physical, e.logical)
+        n_real = feats.shape[0] - feaparams["start_frm_ext"] - feaparams["end_frm_ext"]
+        labs = labels_repo.get_frame_labels(
+            n_real, rd.last_header.sample_period, e.logical)
+        return feats, labs
+
     def utterance_iter():
-        for e in entries:
-            feats = reader.read(e.physical, e.logical)
-            n_real = feats.shape[0] - feaparams["start_frm_ext"] - feaparams["end_frm_ext"]
-            labs = labels_repo.get_frame_labels(
-                n_real, reader.last_header.sample_period, e.logical)
+        # background reader pool (the Platform reader-thread analog)
+        for feats, labs in prefetch_map(read_one, entries, workers=4):
             if trace & 2:
                 print(".", end="", flush=True)
             yield feats, labs
