@@ -1,0 +1,70 @@
+"""TSegmenter — stage feature files to local scratch (TSegmenter.cc
+equivalent).
+
+Copies (ranges of) feature files listed in an SCP to a local directory and
+rewrites the SCP to point at the copies — cluster staging for per-host
+input pipelines (the SGE copy_local.sh workflow of the reference).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+from ..io import htk
+from ..io.htk import FeatureReader
+from ..io.scp import read_scp
+from ..utils.config import UserInterface
+
+OPTION_STRING = (
+    " -S l   SCRIPT"
+    " -T r   TRACE"
+    " -D n   PRINTCONFIG=TRUE"
+)
+
+SNAME = "TSEGMENTER"
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv if argv is None else argv)
+    ui = UserInterface()
+    ui.parse_options(argv, OPTION_STRING, SNAME)
+
+    p_script = ui.get_str("SCRIPT")
+    p_outdir = ui.get_str("TARGETPARAMDIR")
+    p_outscp = ui.get_str("TARGETSCRIPT")
+    extract = ui.get_bool("EXTRACTSEGMENTS", True)
+    ui.check_command_line_param_use()
+
+    if p_script is None or p_outdir is None or p_outscp is None:
+        raise SystemExit(
+            "Need [-S script], [--TARGETPARAMDIR], [--TARGETSCRIPT]")
+    os.makedirs(p_outdir, exist_ok=True)
+
+    entries = read_scp(p_script)
+    lines = []
+    for e in entries:
+        base, s, t = FeatureReader.split_range(e.physical)
+        dst = os.path.join(p_outdir, os.path.basename(base))
+        if s is not None and extract:
+            # materialize just the segment as its own file
+            data, hdr = htk.read_htk_file(base)
+            seg = data[s:t + 1]
+            root, ext = os.path.splitext(dst)
+            dst = f"{root}.{s}_{t}{ext}"
+            htk.write_htk_file(dst, seg, hdr.sample_kind, hdr.sample_period)
+            lines.append(f"{e.logical}={dst}")
+        else:
+            if not os.path.exists(dst):
+                shutil.copy(base, dst)
+            rng = f"[{s},{t}]" if s is not None else ""
+            lines.append(f"{e.logical}={dst}{rng}")
+    with open(p_outscp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"TSegmenter: staged {len(entries)} entries to {p_outdir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
