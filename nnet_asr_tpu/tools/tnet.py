@@ -154,6 +154,9 @@ def main(argv=None) -> int:
                 print(".", end="", flush=True)
             yield feats, labs
 
+    from ..utils.profiler import enable_from_trace, profiler
+
+    enable_from_trace(trace)
     trainer.run_epoch(utterance_iter())
 
     if not crossval:
@@ -171,6 +174,8 @@ def main(argv=None) -> int:
     print(f"===== TNET FINISHED ( {time.time() - t0:.1f}s ) =====")
     print(trainer.report(), end="")
     print(trainer.throughput_report(), end="")
+    if profiler.enabled:
+        print(profiler.report(), end="")
     return 0
 
 

@@ -23,6 +23,7 @@ from ..models.components import BlockSoftmax, Softmax
 from ..models.network import Network
 from ..ops.objectives import (MseStats, XentStats, mse_loss_and_stats,
                               softmax_identity_backward, xent_loss_and_stats)
+from ..utils.profiler import profiler
 from .cache import FrameCache
 from .pipeline import TransformPipeline
 from .sgd import SgdConfig, apply_updates, init_momentum, layer_lr_factors
@@ -183,16 +184,19 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _drain_cache(self, cache: FrameCache) -> None:
-        stacked = cache.take_stacked()
+        with profiler.phase("cache-randomize"):
+            stacked = cache.take_stacked()
         if stacked is None:
             return
         feats_all, labels_all = stacked
         acc = self._zero_acc()
-        if self.cfg.crossvalidate:
-            acc = self._drain_eval(self.params, acc, feats_all, labels_all)
-        else:
-            self.params, self.velocity, acc = self._drain_train(
-                self.params, self.velocity, acc, feats_all, labels_all)
+        with profiler.phase("train-step" if not self.cfg.crossvalidate
+                            else "eval-step"):
+            if self.cfg.crossvalidate:
+                acc = self._drain_eval(self.params, acc, feats_all, labels_all)
+            else:
+                self.params, self.velocity, acc = self._drain_train(
+                    self.params, self.velocity, acc, feats_all, labels_all)
         self._merge_acc(acc)
 
     def run_epoch(self, utterances: Iterable[Tuple[np.ndarray, np.ndarray]],
@@ -210,7 +214,8 @@ class Trainer:
         def flush_pending():
             if not pend_feats:
                 return
-            outs = self.pipeline(pend_feats)
+            with profiler.phase("transform"):
+                outs = self.pipeline(pend_feats)
             for f, l in zip(outs, pend_labels):
                 cache.add(f, l)
                 self.total_frames += l.shape[0]
