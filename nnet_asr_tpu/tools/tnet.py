@@ -106,6 +106,8 @@ def main(argv=None) -> int:
     transform = Network.read(p_transform) if p_transform else None
     net = Network.read(p_source_mmf)
 
+    mesh_spec = ui.get_str("MESH")   # e.g. --MESH=4x2 → data=4, model=2
+
     cfg = TrainerConfig(
         bunchsize=bunchsize, cachesize=cachesize, seed=seed,
         randomize=randomize and not crossval, crossvalidate=crossval,
@@ -113,9 +115,19 @@ def main(argv=None) -> int:
         sgd=SgdConfig(learning_rate=learning_rate, momentum=momentum,
                       weightcost=weightcost, l1=l1, grad_div_frm=grad_div_frm,
                       lr_factors=SgdConfig.parse_factors(lr_factors)),
-        trace=trace)
-    trainer = Trainer(net, cfg, transform,
-                      feaparams["start_frm_ext"], feaparams["end_frm_ext"])
+        trace=trace, confusion_mode=confusion_mode)
+    if mesh_spec:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded_trainer import ShardedTrainer
+
+        d, _, m = mesh_spec.lower().partition("x")
+        mesh = make_mesh(data=int(d), model=int(m) if m else 1)
+        trainer = ShardedTrainer(net, cfg, mesh, transform,
+                                 feaparams["start_frm_ext"],
+                                 feaparams["end_frm_ext"])
+    else:
+        trainer = Trainer(net, cfg, transform,
+                          feaparams["start_frm_ext"], feaparams["end_frm_ext"])
     if cfg.objective == "xent":
         trainer.stats.confusion_mode = confusion_mode
         trainer.stats.label_map_file = p_label_map

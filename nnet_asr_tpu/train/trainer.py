@@ -44,6 +44,9 @@ class TrainerConfig:
     # 'bf16' runs the matmuls in bfloat16 (f32 master params, f32 loss/
     # stats/update) — the production-throughput mode; None = full f32
     compute_dtype: Optional[str] = None
+    # CONFUSIONMODE: no|max|soft|dmax|dsoft (ObjFun.cc:132-155) —
+    # accumulated on device as label^T @ {onehot(pred) | posteriors}
+    confusion_mode: str = "no"
 
     def pallas_enabled(self) -> bool:
         if self.use_pallas is not None:
@@ -112,15 +115,32 @@ class Trainer:
                 i += 1
             return x.astype(jnp.float32) if bf16 else x
 
+        conf_mode = cfg.confusion_mode
+
+        def _confusion(logits, labels, stats):
+            """Device confusion accumulation (ObjFun.cc:132-155)."""
+            oh_lab = jax.nn.one_hot(labels, n_out, dtype=jnp.float32)
+            if conf_mode in ("max", "dmax"):
+                pred = jnp.argmax(jax.lax.stop_gradient(logits), axis=-1)
+                x = jax.nn.one_hot(pred, n_out, dtype=jnp.float32)
+            else:
+                x = jax.nn.softmax(jax.lax.stop_gradient(logits), axis=-1)
+            stats["confusion"] = oh_lab.T @ x
+            stats["confusion_count"] = jnp.sum(oh_lab, axis=0)
+            return stats
+
         def loss_fn(params, feats, labels):
             logits = forward_logits(params, feats)
             if cfg.objective == "xent":
                 if not has_softmax:
                     raise ValueError("CE objective expects a softmax output layer")
-                if use_pallas and block_dims is None:
+                if use_pallas and block_dims is None and conf_mode == "no":
                     from ..ops.pallas.softmax_ce import fused_softmax_xent
                     return fused_softmax_xent(logits, labels)
-                return xent_loss_and_stats(logits, labels, block_dims)
+                loss, stats = xent_loss_and_stats(logits, labels, block_dims)
+                if conf_mode != "no":
+                    stats = _confusion(logits, labels, stats)
+                return loss, stats
             # MSE against one-hot targets; reference backprops err=y-t
             # through a terminal softmax unchanged (identity backward)
             y = softmax_identity_backward(logits) if has_softmax else logits
@@ -170,15 +190,29 @@ class Trainer:
 
     def _zero_acc(self):
         if self.cfg.objective == "xent":
-            return {"xent": jnp.zeros((), jnp.float32),
-                    "correct": jnp.zeros((), jnp.int32),
-                    "frames": jnp.zeros((), jnp.int32)}
+            acc = {"xent": jnp.zeros((), jnp.float32),
+                   "correct": jnp.zeros((), jnp.int32),
+                   "frames": jnp.zeros((), jnp.int32)}
+            if self.cfg.confusion_mode != "no":
+                n = self.net.n_outputs
+                acc["confusion"] = jnp.zeros((n, n), jnp.float32)
+                acc["confusion_count"] = jnp.zeros((n,), jnp.float32)
+            return acc
         return {"mse": jnp.zeros((), jnp.float32),
                 "frames": jnp.zeros((), jnp.int32)}
 
     def _merge_acc(self, acc):
         if self.cfg.objective == "xent":
             self.stats.add(float(acc["xent"]), int(acc["frames"]), int(acc["correct"]))
+            if self.cfg.confusion_mode != "no":
+                self.stats.confusion_mode = self.cfg.confusion_mode
+                n = self.net.n_outputs
+                self.stats._ensure_confusion(n)
+                conf = np.asarray(acc["confusion"], dtype=np.float64)
+                self.stats.confusion += conf
+                self.stats.diag_confusion += np.diag(conf)
+                self.stats.confusion_count += np.asarray(
+                    acc["confusion_count"], dtype=np.float64)
         else:
             self.stats.add(float(acc["mse"]), int(acc["frames"]))
 
