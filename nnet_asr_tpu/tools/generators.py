@@ -145,6 +145,97 @@ def empty(args, out):
     out.write(f"<expand> {args.dimIn} {args.dimIn}\nv 1 0\n")
 
 
+def lcrc_hamm_dct(args, out):
+    """Left/right-context split DCT transform
+    (tools/transform/gen_lcrc_hamm_dct.py)."""
+    din = args.dimIn
+    ctx = 1 + args.startFrmExt + args.endFrmExt
+    out.write(f"<expand> {din * ctx} {din}\n")
+    out.write(f"v {ctx}\n")
+    out.write(" ".join(str(i) for i in range(-args.startFrmExt,
+                                             args.endFrmExt + 1)) + "\n\n")
+    out.write(f"<transpose> {din * ctx} {din * ctx}\n{ctx}\n\n")
+    out.write(f"<window> {din * ctx} {din * ctx}\n")
+    out.write(f"v {din * ctx}\n")
+    ham = [0.54 - 0.46 * math.cos(2 * math.pi * i / (ctx - 1))
+           for i in range(ctx)]
+    for _ in range(din):
+        out.write(" ".join(repr(h) for h in ham) + "\n")
+    out.write("\n")
+    # LC to first half, RC to second half, middle frame copied twice
+    out.write(f"<copy> {din * (ctx + 1)} {din * ctx}\n")
+    out.write(f"v {din * (ctx + 1)}\n")
+    for i in range(din):
+        beg = 1 + i * ctx
+        out.write(" ".join(str(v) for v in
+                           range(beg, beg + args.startFrmExt + 1)) + "\n")
+    for i in range(din):
+        beg = args.startFrmExt + 1 + i * ctx
+        out.write(" ".join(str(v) for v in
+                           range(beg, beg + args.endFrmExt + 1)) + "\n")
+    lc = args.startFrmExt + 1
+    k = args.dctBaseCnt
+    out.write(f"<blocklinearity> {din * 2 * k} {din * 2 * lc}\n")
+    out.write(f"m {k} {lc}\n")
+    for kk in range(k):
+        out.write(" ".join(
+            repr(math.sqrt(2.0 / lc) * math.cos(math.pi / lc * kk * (n + 0.5)))
+            for n in range(lc)) + "\n")
+    out.write("\n")
+
+
+# FIR RASTA filter weights (tools/transform/gen_rasta.py:33)
+_RASTA_COEF = [
+    -0.00159062, -0.00169215, -0.00180016, -0.00191506, -0.0020373,
+    -0.00216734, -0.00230568, -0.00245286, -0.00260942, -0.00277598,
+    -0.00295317, -0.00314167, -0.0033422, -0.00355553, -0.00378248,
+    -0.00402392, -0.00428076, -0.004554, -0.00484469, -0.00515392,
+    -0.00548289, -0.00583287, -0.00620518, -0.00660125, -0.00702261,
+    -0.00747086, -0.00794772, -0.00845502, -0.00899471, -0.00956884,
+    -0.0101796, -0.0108294, -0.0115206, -0.012256, -0.0130383, -0.0138705,
+    -0.0147558, -0.0156977, -0.0166997, -0.0177656, -0.0188996, -0.020106,
+    -0.0213893, -0.0227546, -0.024207, -0.0257521, -0.0273959, 0.0772384,
+    0.13536, 0.144, 0.1]
+
+
+def rasta(args, out):
+    """FIR RASTA filtering transform (tools/transform/gen_rasta.py)."""
+    din = args.dimIn
+    n = len(_RASTA_COEF)
+    ctx = n          # history-only context
+    out.write(f"<expand> {din * ctx} {din}\n")
+    out.write(f"v {ctx}\n")
+    out.write(" ".join(str(i) for i in range(-(n - 1), 1)) + "\n\n")
+    out.write(f"<transpose> {din * ctx} {din * ctx}\n{ctx}\n\n")
+    out.write(f"<sharedlinearity> {din} {din * ctx}\n{din}\n")
+    out.write(f"m 1 {n}\n")
+    out.write(" ".join(repr(c) for c in _RASTA_COEF) + "\n")
+    out.write("v 1\n0.0 \n")
+
+
+def netjoin(args, out):
+    """Concatenate MMF networks; optionally trim after the bottleneck
+    (tools/tnet2snet/tnet2snet.py's --bndim trimming, TNet output format)."""
+    from ..models.network import Network, write_component
+
+    specs, params = [], []
+    for fn in args.infiles:
+        net = Network.read(fn)
+        specs.extend(net.specs)
+        params.extend(net.params)
+    if args.bndim > 0:
+        cut = None
+        for i, spec in enumerate(specs):
+            if spec.n_outputs == args.bndim and spec.updatable:
+                cut = i + 1
+                break
+        if cut is None:
+            raise SystemExit(f"No updatable layer with output dim {args.bndim}")
+        specs, params = specs[:cut], params[:cut]
+    for spec, p in zip(specs, params):
+        write_component(out, spec, p)
+
+
 def rbm2mlplayer(args, out):
     """Convert a trained <rbm> into a <biasedlinearity>(+<sigmoid>) layer."""
     from ..io.mmf import TokenStream
@@ -206,6 +297,19 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("empty")
     p.add_argument("--dimIn", type=int, required=True)
+
+    p = sub.add_parser("lcrc_hamm_dct")
+    p.add_argument("--dimIn", type=int, required=True)
+    p.add_argument("--startFrmExt", type=int, required=True)
+    p.add_argument("--endFrmExt", type=int, required=True)
+    p.add_argument("--dctBaseCnt", type=int, required=True)
+
+    p = sub.add_parser("rasta")
+    p.add_argument("--dimIn", type=int, required=True)
+
+    p = sub.add_parser("netjoin")
+    p.add_argument("--bndim", type=int, default=0)
+    p.add_argument("infiles", nargs="+")
 
     p = sub.add_parser("rbm2mlplayer")
     p.add_argument("infile")

@@ -172,3 +172,41 @@ def test_rbm_scheduler_decisions(tmp_path):
                      log=lambda s: None)
     assert len(calls) == 20
     assert calls[0][0] == 0.001
+
+
+def test_lcrc_and_rasta_generators():
+    t = _run_gen(["lcrc_hamm_dct", "--dimIn=23", "--startFrmExt=15",
+                  "--endFrmExt=15", "--dctBaseCnt=16"])
+    net = Network.read(t)
+    net.check_dims()
+    assert [s.tag for s in net.specs] == [
+        "<expand>", "<transpose>", "<window>", "<copy>", "<blocklinearity>"]
+    assert net.n_outputs == 23 * 2 * 16
+    t2 = _run_gen(["rasta", "--dimIn=23"])
+    net2 = Network.read(t2)
+    net2.check_dims()
+    assert net2.n_outputs == 23
+    # causal FIR: last offset is 0 (history only)
+    assert net2.specs[0].offsets[-1] == 0
+    assert len(net2.specs[0].offsets) == 51
+
+
+def test_netjoin_and_bottleneck_trim(tmp_path):
+    a = _run_gen(["rbm_init", "--dim=10:8", "--gauss", "--seed=1"])
+    # build an MLP with a bottleneck dim 6
+    import contextlib, io
+    buf = io.StringIO()
+    from nnet_asr_tpu.tools import gen_mlp_init
+    with contextlib.redirect_stdout(buf):
+        gen_mlp_init.main(["--dim=8:6:4", "--gauss", "--seed=2"])
+    (tmp_path / "a.mmf").write_text(a)
+    (tmp_path / "b.mmf").write_text(buf.getvalue())
+    joined = _run_gen(["netjoin", str(tmp_path / "a.mmf"),
+                       str(tmp_path / "b.mmf")])
+    net = Network.read(joined)
+    net.check_dims()
+    assert net.n_inputs == 10 and net.n_outputs == 4
+    trimmed = _run_gen(["netjoin", "--bndim=6", str(tmp_path / "a.mmf"),
+                        str(tmp_path / "b.mmf")])
+    net2 = Network.read(trimmed)
+    assert net2.n_outputs == 6
