@@ -169,7 +169,20 @@ def main(argv=None) -> int:
     from ..utils.profiler import enable_from_trace, profiler
 
     enable_from_trace(trace)
+    p_resume = ui.get_str("RESUMESTATE")
+    p_save = ui.get_str("SAVESTATE")
+    p_jaxprofile = ui.get_str("JAXPROFILE")
+    if p_resume and hasattr(trainer, "load_state"):
+        trainer.load_state(p_resume)
+    if p_jaxprofile:
+        import jax
+        jax.profiler.start_trace(p_jaxprofile)
     trainer.run_epoch(utterance_iter())
+    if p_jaxprofile:
+        import jax
+        jax.profiler.stop_trace()
+    if p_save and hasattr(trainer, "save_state"):
+        trainer.save_state(p_save)
 
     if not crossval:
         out_net = trainer.updated_network()

@@ -278,6 +278,42 @@ class Trainer:
         self.wall += time.time() - t0
 
     # ------------------------------------------------------------------
+    # checkpoint/resume: the reference only resumes from epoch MMFs
+    # (optimizer state lives and dies within an epoch process,
+    # SURVEY.md §5); here the full training state round-trips.
+    def save_state(self, path: str) -> None:
+        arrs = {}
+        for i, p in enumerate(self.params):
+            for k, v in p.items():
+                arrs[f"p{i}.{k}"] = np.asarray(v)
+        for i, v in enumerate(self.velocity):
+            for k, vv in v.items():
+                arrs[f"v{i}.{k}"] = np.asarray(vv)
+        arrs["_rng_x"] = np.asarray([getattr(self, "_cache_rng_x", 0)],
+                                    dtype=np.uint64)
+        arrs["_stats"] = np.asarray(
+            [self.stats.error, self.stats.frames,
+             getattr(self.stats, "corr", 0)], dtype=np.float64)
+        np.savez(path, **arrs)
+
+    def load_state(self, path: str) -> None:
+        data = np.load(path)
+        for i in range(len(self.params)):
+            for k in self.params[i]:
+                key = f"p{i}.{k}"
+                if key in data:
+                    self.params[i][k] = jnp.asarray(data[key])
+        for i in range(len(self.velocity)):
+            for k in self.velocity[i]:
+                key = f"v{i}.{k}"
+                if key in data:
+                    self.velocity[i][k] = jnp.asarray(data[key])
+        st = data["_stats"]
+        self.stats.error = float(st[0])
+        self.stats.frames = int(st[1])
+        if hasattr(self.stats, "corr"):
+            self.stats.corr = int(st[2])
+
     def updated_network(self) -> Network:
         host = [{k: np.asarray(v) for k, v in p.items()} for p in self.params]
         return Network(self.net.specs, host)
