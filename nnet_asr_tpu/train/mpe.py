@@ -113,6 +113,47 @@ def arc_forward_backward(log_obs: np.ndarray, transp: np.ndarray):
     return log_like, occ
 
 
+def arc_forward_backward_batch(log_obs: np.ndarray, lt: np.ndarray):
+    """Vectorized within-arc FB over a bucket of same-shape arcs.
+
+    ``log_obs``: (A, L, S) emissions; ``lt``: (A, S+2, S+2) log transitions.
+    Returns (log_like (A,), occupancy (A, L, S)). Same math as
+    arc_forward_backward, batched over arcs to kill the per-arc Python
+    overhead (the T-decode hot loop).
+    """
+    A, L, S = log_obs.shape
+    inner = lt[:, 1:S + 1, 1:S + 1]                  # (A, S, S)
+    alpha = np.full((A, L, S), LOG_ZERO)
+    alpha[:, 0] = lt[:, 0, 1:S + 1] + log_obs[:, 0]
+
+    def lse(x, axis):
+        m = np.max(x, axis=axis)
+        good = m > LOG_ZERO / 2
+        with np.errstate(over="ignore"):
+            out = m + np.log(np.sum(np.exp(x - np.expand_dims(m, axis)),
+                                    axis=axis) + 1e-300)
+        return np.where(good, out, LOG_ZERO)
+
+    for t in range(1, L):
+        prev = alpha[:, t - 1][:, :, None] + inner    # (A, S_from, S_to)
+        alpha[:, t] = lse(prev, axis=1) + log_obs[:, t]
+    exit_scores = alpha[:, L - 1] + lt[:, 1:S + 1, S + 1]
+    log_like = lse(exit_scores, axis=1)               # (A,)
+
+    beta = np.full((A, L, S), LOG_ZERO)
+    beta[:, L - 1] = lt[:, 1:S + 1, S + 1]
+    for t in range(L - 2, -1, -1):
+        nxt = inner + (log_obs[:, t + 1] + beta[:, t + 1])[:, None, :]
+        beta[:, t] = lse(nxt, axis=2)
+
+    ok = log_like > LOG_ZERO / 2
+    occ = np.exp(np.clip(alpha + beta - log_like[:, None, None], -700, 0))
+    occ[~ok] = 0.0
+    sums = occ.sum(axis=2, keepdims=True)
+    occ = np.divide(occ, sums, out=np.zeros_like(occ), where=sums > 0)
+    return np.where(ok, log_like, LOG_ZERO), occ
+
+
 def povey_phone_accuracy(phone: str, t0: int, t1: int,
                          ref: Sequence[Tuple[int, int, str]]) -> float:
     """Approximate raw phone accuracy (Povey 2002):
@@ -160,7 +201,8 @@ class MpeComputer:
     # ------------------------------------------------------------------
     def _prepare_arcs(self, lat: Lattice, log_post: np.ndarray) -> List[ArcInfo]:
         T = log_post.shape[0]
-        arcs = []
+        arcs: List[ArcInfo] = []
+        buckets: Dict[Tuple[int, int], List[int]] = {}
         for a in lat.arcs:
             phone = lat.arc_word(a)
             t0 = min(lat.frame(a.start, self.cfg.frame_rate), T)
@@ -175,11 +217,29 @@ class MpeComputer:
             ids = self._senone_cache[phone]
             if t1 <= t0:
                 raise ValueError(f"Zero-length arc for phone {phone}")
-            obs = self.cfg.outprb_scale * log_post[t0:t1][:, ids]
-            ll, occ = arc_forward_backward(obs, self.hmms[phone].transp)
-            arcs.append(ArcInfo(a.start, a.end, t0, t1, phone, list(ids),
-                                log_like=ll, occupancy=occ,
-                                score=ll + self.cfg.lm_scale * a.lm))
+            info = ArcInfo(a.start, a.end, t0, t1, phone, list(ids),
+                           score=self.cfg.lm_scale * a.lm)
+            buckets.setdefault((t1 - t0, len(ids)), []).append(len(arcs))
+            arcs.append(info)
+
+        # batched within-arc FB per (length, n_states) bucket
+        with np.errstate(divide="ignore"):
+            log_tp = {
+                name: np.where(h.transp > 0,
+                               np.log(np.maximum(h.transp, 1e-300)), LOG_ZERO)
+                for name, h in self.hmms.items()}
+        for (L, S), idxs in buckets.items():
+            obs = np.empty((len(idxs), L, S))
+            lt = np.empty((len(idxs), S + 2, S + 2))
+            for j, i in enumerate(idxs):
+                a = arcs[i]
+                obs[j] = self.cfg.outprb_scale * log_post[a.t0:a.t1][:, a.senones]
+                lt[j] = log_tp[a.phone]
+            lls, occs = arc_forward_backward_batch(obs, lt)
+            for j, i in enumerate(idxs):
+                arcs[i].log_like = float(lls[j])
+                arcs[i].occupancy = occs[j]
+                arcs[i].score += float(lls[j])
         return arcs
 
     # ------------------------------------------------------------------
