@@ -11,15 +11,34 @@ FPS report format when buildable, else the recorded estimate below.
 """
 
 import json
+import os
+import signal
+import threading
 import time
 
 import numpy as np
+
+
+def _watchdog(seconds: int = 480):
+    """Emit a failure JSON line instead of hanging forever if the TPU
+    tunnel is unresponsive (device init blocks in PJRT)."""
+    def fire():
+        print(json.dumps({
+            "metric": "mlp3_train_frames_per_sec", "value": 0.0,
+            "unit": "frames/s", "vs_baseline": 0.0,
+            "error": f"device unresponsive after {seconds}s"}), flush=True)
+        os._exit(2)
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 REFERENCE_BASELINE_FPS = 1754.0  # measured: reference TNet CPU binary (system BLAS,
 # 2-core container, THREADS=4, example-01 workload) — see BASELINE_MEASURED.md
 
 
 def main():
+    watchdog = _watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -72,6 +91,7 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = reps * nb * bunch / dt
+    watchdog.cancel()
     print(json.dumps({
         "metric": "mlp3_train_frames_per_sec",
         "value": round(fps, 1),
