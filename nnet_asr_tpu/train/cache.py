@@ -77,6 +77,13 @@ class FrameCache:
     def has_leftover(self) -> bool:
         return self._leftover is not None
 
+    def absorb_leftover(self) -> bool:
+        """Pull the carried-over segment remainder into the (empty) cache;
+        returns True if it alone fills the cache again (long utterances)."""
+        if self._rows == 0 and self._leftover is not None:
+            self._take_leftover()
+        return self.full
+
     # -- exhaust ------------------------------------------------------------
 
     def bunches(self) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:

@@ -255,14 +255,10 @@ class Trainer:
                 self.total_frames += l.shape[0]
                 if cache.full:
                     self._drain_cache(cache)
-                while cache.has_leftover:
-                    # leftover seeds the next fill; drain again if the
-                    # leftover alone fills the cache (long utterance)
-                    cache._take_leftover()
-                    if cache.full:
-                        self._drain_cache(cache)
-                    else:
-                        break
+                # leftover seeds the next fill; drain again while the
+                # leftover alone fills the cache (very long utterances)
+                while cache.has_leftover and cache.absorb_leftover():
+                    self._drain_cache(cache)
             pend_feats.clear()
             pend_labels.clear()
 
