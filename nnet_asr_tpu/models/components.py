@@ -240,9 +240,13 @@ class SparseLinearity(Component):
             {"weight": wt.T.copy(), "bias": b, "mask": mask}
 
     def write(self, out, params):
-        mmf.write_matrix(out, _np(params["weight"]).T)
+        # the reference prunes the mask when the model is written
+        # (UpdateMask() from WriteToStream, cuSparseLinearity.cc:165-167)
+        w = _np(params["weight"])
+        mask = np.where(np.abs(w) < 1e-3, 0.0, _np(params["mask"]))
+        mmf.write_matrix(out, w.T)
         mmf.write_vector(out, _np(params["bias"]))
-        mmf.write_matrix(out, _np(params["mask"]).T)
+        mmf.write_matrix(out, mask.astype(np.float32).T)
         out.write("\n")
 
     def init_params(self, rng):
