@@ -12,7 +12,7 @@ exactly this output index (Decoder.tcc:3220-3221 usage).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 import numpy as np

@@ -10,7 +10,7 @@ reference's GenDesiredMatrix (Labels.cc:42-187).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -9,7 +9,7 @@ leading ``*/`` wildcard matches any directory prefix.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 
 def _strip_quotes(s: str) -> str:

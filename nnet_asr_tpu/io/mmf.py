@@ -11,7 +11,7 @@ the reference wrote C++ default 6-digit precision, which parses identically.
 
 from __future__ import annotations
 
-from typing import List, Optional, TextIO, Tuple
+from typing import Optional, TextIO
 
 import numpy as np
 

@@ -15,7 +15,7 @@ import os
 import subprocess
 import tempfile
 import threading
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -6,7 +6,7 @@ Mirrors FileListElem parsing (KaldiLib/Features.cc:40-84).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List
 
 
 @dataclass

@@ -18,7 +18,7 @@ through softmax unchanged, whatever the objective).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax

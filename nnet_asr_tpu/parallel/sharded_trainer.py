@@ -22,7 +22,7 @@ from ..ops.objectives import XentStats
 from ..train.cache import FrameCache
 from ..train.pipeline import TransformPipeline
 from ..train.trainer import TrainerConfig
-from .sharded_step import ShardedTrainState, make_sharded_train_step, zero_acc
+from .sharded_step import make_sharded_train_step, zero_acc
 
 
 class ShardedTrainer:

@@ -239,9 +239,9 @@ def netjoin(args, out):
 def rbm2mlplayer(args, out):
     """Convert a trained <rbm> into a <biasedlinearity>(+<sigmoid>) layer."""
     from ..io.mmf import TokenStream
-    from ..models.components import Rbm, TAG_TO_TYPE
+    from ..models.components import TAG_TO_TYPE
     from ..models.network import write_component
-    from ..models.components import BiasedLinearity, Sigmoid
+    from ..models.components import BiasedLinearity
 
     src = sys.stdin if args.infile == "-" else open(args.infile)
     ts = TokenStream(src)

@@ -15,8 +15,6 @@ from __future__ import annotations
 import sys
 import time
 
-import numpy as np
-
 from .. import __version__
 from ..io.labels import LabelRepository
 from ..io.scp import read_scp

@@ -27,7 +27,7 @@ phone-arc lattices in a dense, vectorizable form:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -18,8 +18,7 @@ block, so the result is bit-identical to per-utterance transformation.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 import jax

@@ -11,14 +11,13 @@ reconstruction-MSE statistic.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models.components import BERNOULLI, GAUSSIAN, Rbm, RbmSparse
+from ..models.components import BERNOULLI, Rbm, RbmSparse
 
 
 @dataclass(frozen=True)

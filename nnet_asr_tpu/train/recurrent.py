@@ -16,13 +16,12 @@ bits.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models.components import BlockSoftmax, Recurrent, Softmax
+from ..models.components import Recurrent, Softmax
 from ..models.network import Network
 from ..ops.objectives import XentStats
 from .sgd import SgdConfig, apply_updates, init_momentum, layer_lr_factors

@@ -15,7 +15,7 @@ below the first live layer — pure optimization, same math).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
 import jax

@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import re
 import sys
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 
 def _is_option(s: str) -> bool:

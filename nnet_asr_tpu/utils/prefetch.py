@@ -9,7 +9,6 @@ release the GIL, so reads genuinely overlap device compute.
 
 from __future__ import annotations
 
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterable, Iterator, TypeVar
 
