@@ -72,6 +72,10 @@ def main(argv=None) -> int:
     weightcost = ui.get_flt("WEIGHTCOST", 0.0)
     grad_div_frm = ui.get_bool("GRADDIVFRM", True)
     ml_gamma = ui.get_bool("MLGAMMA", False)
+    # MMI mode: err = -kappa*(onehot(numerator alignment) - gamma_den^ML).
+    # Restores the capability of TMmiCu, which the reference build lists
+    # but whose source is absent from the fork (src/Makefile:46).
+    mmi = ui.get_bool("MMI", False)
     show_gamma = ui.get_bool("SHOWGAMMA", False)
     trace = ui.get_int("TRACE", 0)
     if ui.get_bool("PRINTCONFIG", False):
@@ -100,7 +104,7 @@ def main(argv=None) -> int:
     hmms = parse_mmf(p_hmm)
     mpe = MpeComputer(hmms, labels_repo.label_map,
                       MpeConfig(lm_scale=lm_scale, outprb_scale=outprb_scale,
-                                ml_gamma=ml_gamma))
+                                ml_gamma=ml_gamma or mmi))
     lattices = LatticeArchive(p_lat_dir, p_lat_ext)
 
     entries = read_scp(p_script) if p_script else []
@@ -159,6 +163,12 @@ def main(argv=None) -> int:
         if show_gamma:
             print(f"{e.logical}: avgAcc {avg_acc:.4f}")
 
+        if mmi:
+            # numerator = forced alignment one-hot; denominator = ML
+            # occupancies of the lattice
+            num = np.zeros_like(gammas)
+            num[np.arange(T), labs] = 1.0
+            gammas = num - gammas
         err = jnp.asarray(-outprb_scale * gammas)
         params, velocity = update_j(params, velocity, feats, err)
         frames += T

@@ -41,6 +41,11 @@ class UserInterface:
 
     def _insert(self, key: str, value: str, origin: str) -> None:
         key = key.upper().replace("_", "").replace("-", "").strip()
+        # ParseHTKString: quoted values arrive with their quotes when the
+        # shell passes them through unsplit (e.g. -L '*/')
+        v = value.strip()
+        if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+            value = v[1:-1]
         self._cfg[key] = value
         self._origin[key] = origin
 

@@ -119,3 +119,26 @@ def test_tmpe_end_to_end(mpe_setup):
     acc1 = _segment_decision_accuracy(net1, utts)
     assert acc1 > acc0, (acc0, acc1)
     assert acc1 >= 0.6, (acc0, acc1)
+
+
+def test_tmpe_mmi_mode(mpe_setup):
+    """--MMI=TRUE (the TMmiCu restoration) also improves decisions."""
+    tmp, utts = mpe_setup
+    from nnet_asr_tpu.tools import tmpe
+
+    acc0 = _segment_decision_accuracy(Network.read(str(tmp / "init.mmf")), utts)
+    src = str(tmp / "init.mmf")
+    for it in range(4):
+        dst = str(tmp / f"mmi{it}.mmf")
+        tmpe.main([
+            "tmpe", "-H", src, "-I", str(tmp / "labels.mlf"),
+            "-L", "*/", "-X", "lab",
+            "-m", str(tmp / "phones.map"),
+            "-S", str(tmp / "train.scp"),
+            "--HMM=" + str(tmp / "hmms.mmf"),
+            "--LATTICEDIR=" + str(tmp / "lats"),
+            "--MMI=TRUE", "--LEARNINGRATE=1.0",
+            "--TARGETMMF=" + dst])
+        src = dst
+    acc1 = _segment_decision_accuracy(Network.read(src), utts)
+    assert acc1 > acc0, (acc0, acc1)
