@@ -56,8 +56,17 @@ class ShardedTrainer:
         return self.state.params
 
     def _put(self, feats: jnp.ndarray, labels: np.ndarray):
-        f = jax.device_put(feats, self._data_sharding)
-        l = jax.device_put(jnp.asarray(labels), self._label_sharding)
+        if jax.process_count() > 1:
+            # multi-host: every process holds the full global batch here
+            # (each host read the same SCP shard layout); hand JAX the
+            # addressable slice of the global array
+            f = jax.make_array_from_process_local_data(
+                self._data_sharding, np.asarray(feats))
+            l = jax.make_array_from_process_local_data(
+                self._label_sharding, np.asarray(labels))
+        else:
+            f = jax.device_put(feats, self._data_sharding)
+            l = jax.device_put(jnp.asarray(labels), self._label_sharding)
         return f, l
 
     def _drain_cache(self, cache: FrameCache) -> None:

@@ -139,3 +139,11 @@ def test_example01_crossvalidate_improves(example01_training):
 
     acc_trained = cv(out_mmf)
     assert acc_trained > 15.0
+
+
+def test_userinterface_strips_shell_quotes():
+    ui = UserInterface()
+    ui.parse_options(["prog", "-L", "'*/'", "--FOO=\"bar baz\""],
+                     " -L r SOURCETRANSCDIR", "TNET")
+    assert ui.get_str("SOURCETRANSCDIR") == "*/"
+    assert ui.get_str("FOO") == "bar baz"
