@@ -191,10 +191,15 @@ def labels_to_phone_segments(frame_labels: np.ndarray,
 
 class MpeComputer:
     def __init__(self, hmms: Dict[str, Hmm], label_map: Dict[str, int],
-                 cfg: MpeConfig):
+                 cfg: MpeConfig, engine: str = "numpy"):
         self.hmms = hmms
         self.label_map = label_map
         self.cfg = cfg
+        if engine == "jax":
+            from ..ops.mpe_device import arc_forward_backward_batch_jax
+            self._arc_fb_batch = arc_forward_backward_batch_jax
+        else:
+            self._arc_fb_batch = arc_forward_backward_batch
         self._senone_cache = {
             name: h.senone_ids(label_map) for name, h in hmms.items()}
 
@@ -235,7 +240,7 @@ class MpeComputer:
                 a = arcs[i]
                 obs[j] = self.cfg.outprb_scale * log_post[a.t0:a.t1][:, a.senones]
                 lt[j] = log_tp[a.phone]
-            lls, occs = arc_forward_backward_batch(obs, lt)
+            lls, occs = self._arc_fb_batch(obs, lt)
             for j, i in enumerate(idxs):
                 arcs[i].log_like = float(lls[j])
                 arcs[i].occupancy = occs[j]

@@ -200,3 +200,23 @@ def test_parse_mmf(tmp_path):
     # fallback naming for inline states
     ids_a = hmms["a"].senone_ids({"a_s2": 3})
     assert ids_a == [3]
+
+
+def test_device_engine_matches_host():
+    """MpeComputer(engine='jax') == numpy engine (same gammas)."""
+    hmms, label_map = _setup()
+    rng = np.random.default_rng(7)
+    T, C = 12, 4
+    log_post = np.log(rng.dirichlet(np.ones(C), size=T)).astype(np.float32)
+    lat = _simple_lattice([(0, 1, "a", -0.3), (0, 1, "b", -0.1),
+                           (1, 2, "a", 0.0), (1, 2, "b", 0.0)],
+                          [0.0, 0.06, 0.12])
+    ref = [(0, 6, "a"), (6, 12, "b")]
+    from nnet_asr_tpu.train.mpe import MpeComputer, MpeConfig
+    g_np, c_np, z_np = MpeComputer(hmms, label_map, MpeConfig()).compute(
+        lat, log_post, ref)
+    g_jx, c_jx, z_jx = MpeComputer(hmms, label_map, MpeConfig(),
+                                   engine="jax").compute(lat, log_post, ref)
+    np.testing.assert_allclose(g_jx, g_np, atol=1e-5)
+    assert abs(c_jx - c_np) < 1e-6
+    assert abs(z_jx - z_np) < 1e-4
