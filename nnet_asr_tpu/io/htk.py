@@ -331,6 +331,22 @@ class FeatureReader:
             return m.group(1), int(m.group(2)), int(m.group(3))
         return physical, None, None
 
+    def _read_gzip_ascii(self, file_name):
+        import gzip
+
+        with gzip.open(file_name, "rt") as f:
+            rows = [[float(v) for v in line.split()]
+                    for line in f if line.strip()]
+        data = np.asarray(rows, dtype=np.float32)
+        ext_l, ext_r = self.start_frm_ext, self.end_frm_ext
+        if ext_l or ext_r:
+            data = np.concatenate(
+                [np.repeat(data[:1], ext_l, axis=0), data,
+                 np.repeat(data[-1:], ext_r, axis=0)], axis=0)
+        self.last_header = HtkHeader(data.shape[0], 100000,
+                                     data.shape[1] * 4, PARMKIND_USER)
+        return data
+
     def _native_fast_read(self, file_name, logical, from_frame, to_frame):
         """Native read when no parmkind conversion is required, else None."""
         from . import native
@@ -399,6 +415,10 @@ class FeatureReader:
         """Read one utterance with the full pipeline. Returns float32 (T, D)."""
         logical = logical if logical is not None else physical
         file_name, from_frame, to_frame = self.split_range(physical)
+
+        # gzipped ASCII features (Features.cc:1681 ReadGzipAsciiFeatures)
+        if file_name.endswith(".gz"):
+            return self._read_gzip_ascii(file_name)
 
         # fast path: raw read + range + extension in native code when no
         # parmkind conversion / derivative work is needed

@@ -25,6 +25,7 @@ from ..utils.config import UserInterface
 
 OPTION_STRING = (
     " -c n   CROSSVALIDATE=TRUE"
+    " -B n   SAVEBINARY=TRUE"
     " -m r   OUTPUTLABELMAP"
     " -n r   LEARNINGRATE"
     " -o r   TARGETMODELEXT"
@@ -77,6 +78,8 @@ def main(argv=None) -> int:
     trace = ui.get_int("TRACE", 0)
     ui.get_int("THREADS", 1)        # accepted for script compat; ignored
     ui.get_int("GPUSELECT", -1)     # ditto
+    ui.get_bool("SAVEBINARY", False)  # accepted; models are ASCII MMF (as the
+                                      # reference effectively is in this fork)
 
     if ui.get_bool("PRINTCONFIG", False):
         print()

@@ -194,3 +194,18 @@ def test_process_mask():
     assert htk.process_mask("abc", "%%%") == "abc"
     with pytest.raises(ValueError):
         htk.process_mask("abc", "x%%")
+
+
+def test_gzip_ascii_features(tmp_path):
+    import gzip
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((12, 5)).astype(np.float32)
+    p = str(tmp_path / "a.fea.gz")
+    with gzip.open(p, "wt") as f:
+        for row in x:
+            f.write(" ".join(repr(float(v)) for v in row) + "\n")
+    rd = FeatureReader(start_frm_ext=2, end_frm_ext=2)
+    y = rd.read(p)
+    assert y.shape == (16, 5)
+    np.testing.assert_allclose(y[2:-2], x, rtol=1e-6)
+    np.testing.assert_allclose(y[0], x[0], rtol=1e-6)
