@@ -79,13 +79,31 @@ def read_slf(source) -> Lattice:
         line = raw.split("#", 1)[0].strip()
         if not line:
             continue
+        toks = line.split()
         f = _fields(line)
+        # STK node-list dialect (SVite -q J... output, ReadSTKNetwork
+        # input): node lines are "<id> t=.. [W=word|M=model]", arc lines
+        # are "<start> <end> [a=..] [l=..]" with no I=/J= keys
+        if toks[0].isdigit() and "I" not in f and "J" not in f:
+            if len(toks) >= 2 and toks[1].isdigit():
+                lat.arcs.append(LatticeArc(
+                    start=int(toks[0]), end=int(toks[1]),
+                    acoustic=float(f.get("a", 0.0)),
+                    lm=float(f.get("l", 0.0))))
+                continue
+            idx = int(toks[0])
+            while len(lat.nodes) <= idx:
+                lat.nodes.append(LatticeNode())
+            word = f.get("W", f.get("M"))
+            lat.nodes[idx] = LatticeNode(time=float(f.get("t", 0.0)),
+                                         word=word)
+            continue
         if "I" in f:
             idx = int(f["I"])
             while len(lat.nodes) <= idx:
                 lat.nodes.append(LatticeNode())
             lat.nodes[idx] = LatticeNode(time=float(f.get("t", 0.0)),
-                                         word=f.get("W"))
+                                         word=f.get("W", f.get("M")))
         elif "J" in f:
             lat.arcs.append(LatticeArc(
                 start=int(f["S"]), end=int(f["E"]), word=f.get("W"),
@@ -124,18 +142,34 @@ class LatticeArchive:
     """Directory- or MLF-style access to per-utterance lattices.
 
     The reference fetches numerator/denominator lattices per utterance from
-    label-style files (TMpeCu.cc:516-544); here lattices live as
-    ``<dir>/<name>.<ext>`` (optionally .gz).
+    label-style MLF files (TMpeCu.cc:516-544, OpenInputLabelFile +
+    ReadSTKNetwork). Both transports are supported here:
+      * ``LatticeArchive(dir)``: ``<dir>/<name>.<ext>`` files (optionally .gz)
+      * ``LatticeArchive(mlf_file)``: lattice records inside an MLF
+        (what ``SVite -z lat`` produces)
     """
 
-    def __init__(self, directory: str, ext: str = "lat"):
-        self.directory = directory
+    def __init__(self, path: str, ext: str = "lat"):
+        import os
+
         self.ext = ext
+        self.directory = None
+        self._mlf = None
+        if os.path.isdir(path):
+            self.directory = path
+        else:
+            from .mlf import MlfReader
+
+            self._mlf = MlfReader(path)
 
     def get(self, logical: str) -> Lattice:
+        import io as _io
         import os
 
         base = os.path.splitext(os.path.basename(logical))[0]
+        if self._mlf is not None:
+            lines = self._mlf.read_block(base + "." + self.ext)
+            return read_slf(_io.StringIO("\n".join(lines)))
         for suffix in (self.ext, self.ext + ".gz"):
             path = os.path.join(self.directory, base + "." + suffix)
             if os.path.exists(path):

@@ -220,3 +220,41 @@ def test_device_engine_matches_host():
     np.testing.assert_allclose(g_jx, g_np, atol=1e-5)
     assert abs(c_jx - c_np) < 1e-6
     assert abs(z_jx - z_np) < 1e-4
+
+
+def test_stk_node_format_parse():
+    """SVite's -z lat output: node lines + bare arc lines inside an MLF."""
+    text = """N=6\tL=6
+0 t=0 W=!NULL
+1 t=0.04 M=aa
+2 t=0.04 M=bb
+3 t=0.08 M=cc
+4 t=0.08 W=!NULL
+5 t=0.08 W=!NULL
+0 1 a=-12.5
+0 2 a=-11.0
+1 3 a=-5.0
+2 4 a=-3.0
+3 5
+4 5
+"""
+    lat = read_slf(io.StringIO(text))
+    assert len(lat.nodes) == 6 and len(lat.arcs) == 6
+    # phone labels live on end nodes (M=)
+    assert lat.arc_word(lat.arcs[0]) == "aa"
+    assert lat.arc_word(lat.arcs[1]) == "bb"
+    assert lat.arcs[0].acoustic == -12.5
+    assert lat.nodes[1].time == 0.04
+
+
+def test_lattice_archive_mlf_transport(tmp_path):
+    from nnet_asr_tpu.io.slf import LatticeArchive
+
+    mlf = tmp_path / "lats.mlf"
+    mlf.write_text('#!MLF!#\n"*/u1.lat"\n'
+                   "0 t=0 W=!NULL\n1 t=0.1 M=aa\n2 t=0.1 W=!NULL\n"
+                   "0 1 a=-1.0\n1 2\n.\n")
+    arch = LatticeArchive(str(mlf))
+    lat = arch.get("u1.fea")
+    assert len(lat.nodes) == 3 and len(lat.arcs) == 2
+    assert lat.arc_word(lat.arcs[0]) == "aa"
