@@ -267,59 +267,78 @@ class MpeComputer:
         start_nodes = [i for i in range(n) if not in_arcs[i]]
         end_nodes = [i for i in range(n) if not out_arcs[i]]
 
+        # node recursions run in scalar Python float math: in-degrees are
+        # tiny (2-50), where numpy's per-call overhead dominates by 10x
+        from math import exp as _exp, log as _log
+
+        def _lse_list(vals):
+            m = max(vals)
+            if m <= LOG_ZERO / 2:
+                return LOG_ZERO
+            return m + _log(sum(_exp(v - m) for v in vals))
+
+        arc_start = [a.start for a in arcs]
+        arc_end = [a.end for a in arcs]
+        arc_score = [a.score for a in arcs]
+
         # ---- alpha/beta over nodes -----------------------------------
-        alpha = np.full(n, LOG_ZERO)
+        alpha = [LOG_ZERO] * n
         for i in start_nodes:
             alpha[i] = 0.0
         for i in order:
             if in_arcs[i]:
-                alpha[i] = _logsumexp(np.array(
-                    [alpha[arcs[q].start] + arcs[q].score for q in in_arcs[i]]))
-        beta = np.full(n, LOG_ZERO)
+                alpha[i] = _lse_list(
+                    [alpha[arc_start[q]] + arc_score[q] for q in in_arcs[i]])
+        beta = [LOG_ZERO] * n
         for i in end_nodes:
             beta[i] = 0.0
         for i in reversed(order):
             if out_arcs[i]:
-                beta[i] = _logsumexp(np.array(
-                    [arcs[q].score + beta[arcs[q].end] for q in out_arcs[i]]))
-        logZ = _logsumexp(np.array([alpha[i] for i in end_nodes]))
+                beta[i] = _lse_list(
+                    [arc_score[q] + beta[arc_end[q]] for q in out_arcs[i]])
+        logZ = _lse_list([alpha[i] for i in end_nodes])
         if logZ <= LOG_ZERO / 2:
             raise FloatingPointError("lattice forward-backward underflow "
                                      "(overpruning?)")
 
-        gamma_q = np.array([
-            np.exp(np.clip(alpha[a.start] + a.score + beta[a.end] - logZ,
-                           -700, 0)) for a in arcs])
+        gamma_q = np.exp(np.clip(
+            np.asarray(alpha)[arc_start] + np.asarray(arc_score)
+            + np.asarray(beta)[arc_end] - logZ, -700, 0))
 
-        # ---- MPE accuracy recursions ---------------------------------
-        for a in arcs:
-            a.accuracy = (povey_phone_accuracy(a.phone, a.t0, a.t1,
-                                               ref_segments)
-                          if a.senones else 0.0)
+        # ---- MPE accuracy (vectorized over arcs x ref segments) ------
+        seg_t0 = np.asarray([s[0] for s in ref_segments], dtype=np.float64)
+        seg_t1 = np.asarray([s[1] for s in ref_segments], dtype=np.float64)
+        seg_ph = [s[2] for s in ref_segments]
+        a_t0 = np.asarray([a.t0 for a in arcs], dtype=np.float64)
+        a_t1 = np.asarray([a.t1 for a in arcs], dtype=np.float64)
+        overlap = (np.minimum(a_t1[:, None], seg_t1[None, :])
+                   - np.maximum(a_t0[:, None], seg_t0[None, :]))
+        e = np.clip(overlap, 0, None) / np.maximum(seg_t1 - seg_t0, 1)[None, :]
+        same = np.asarray([[a.phone == p for p in seg_ph] for a in arcs])
+        acc_mat = np.where(same, -1.0 + 2.0 * e, -1.0 + e)
+        acc_mat = np.where(e > 0, acc_mat, -1.0)
+        arc_acc = np.max(acc_mat, axis=1, initial=-1.0)
+        for i, a in enumerate(arcs):
+            a.accuracy = float(arc_acc[i]) if a.senones else 0.0
 
-        alpha_acc = np.zeros(n)
+        alpha_acc = [0.0] * n
         for i in order:
             if in_arcs[i]:
-                ws = np.array([alpha[arcs[q].start] + arcs[q].score
-                               for q in in_arcs[i]])
-                w = np.exp(ws - _logsumexp(ws))
-                vals = np.array([alpha_acc[arcs[q].start] + arcs[q].accuracy
-                                 for q in in_arcs[i]])
-                alpha_acc[i] = float(np.sum(w * vals))
-        beta_acc = np.zeros(n)
+                ws = [alpha[arc_start[q]] + arc_score[q] for q in in_arcs[i]]
+                z = _lse_list(ws)
+                alpha_acc[i] = sum(
+                    _exp(w - z) * (alpha_acc[arc_start[q]] + arcs[q].accuracy)
+                    for w, q in zip(ws, in_arcs[i]))
+        beta_acc = [0.0] * n
         for i in reversed(order):
             if out_arcs[i]:
-                ws = np.array([arcs[q].score + beta[arcs[q].end]
-                               for q in out_arcs[i]])
-                w = np.exp(ws - _logsumexp(ws))
-                vals = np.array([arcs[q].accuracy + beta_acc[arcs[q].end]
-                                 for q in out_arcs[i]])
-                beta_acc[i] = float(np.sum(w * vals))
+                ws = [arc_score[q] + beta[arc_end[q]] for q in out_arcs[i]]
+                z = _lse_list(ws)
+                beta_acc[i] = sum(
+                    _exp(w - z) * (arcs[q].accuracy + beta_acc[arc_end[q]])
+                    for w, q in zip(ws, out_arcs[i]))
 
-        end_ws = np.array([alpha[i] for i in end_nodes])
-        end_w = np.exp(end_ws - logZ)
-        c_avg = float(np.sum(end_w * np.array([alpha_acc[i]
-                                               for i in end_nodes])))
+        c_avg = sum(_exp(alpha[i] - logZ) * alpha_acc[i] for i in end_nodes)
 
         # ---- scatter into (frame, senone) ----------------------------
         gammas = np.zeros((T, C), dtype=np.float64)
