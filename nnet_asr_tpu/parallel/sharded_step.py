@@ -165,7 +165,44 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh):
         out_specs=acc_spec,
         check_vma=False)
 
-    return state, jax.jit(step, donate_argnums=(0, 1, 2)), jax.jit(evalf, donate_argnums=(1,))
+    # whole-cache drains: lax.scan over stacked bunches (nb, bunch, ...)
+    # sharded P(None, 'data', ...) — one XLA program per cache, as in the
+    # single-chip trainer
+    def _drain_train_body(params, velocity, acc, feats_all, labels_all):
+        def body(carry, batch):
+            p, v, a = carry
+            p, v, a = _shard_step(p, v, a, batch[0], batch[1])
+            return (p, v, a), None
+        (params, velocity, acc), _ = jax.lax.scan(
+            body, (params, velocity, acc), (feats_all, labels_all))
+        return params, velocity, acc
+
+    def _drain_eval_body(params, acc, feats_all, labels_all):
+        def body(a, batch):
+            return _shard_eval(params, a, batch[0], batch[1]), None
+        acc, _ = jax.lax.scan(body, acc, (feats_all, labels_all))
+        return acc
+
+    drain_train = shard_map(
+        _drain_train_body, mesh=mesh,
+        in_specs=(param_specs, vel_specs, acc_spec,
+                  P(None, "data", None), P(None, "data")),
+        out_specs=(param_specs, vel_specs, acc_spec),
+        check_vma=False)
+    drain_eval = shard_map(
+        _drain_eval_body, mesh=mesh,
+        in_specs=(param_specs, acc_spec,
+                  P(None, "data", None), P(None, "data")),
+        out_specs=acc_spec,
+        check_vma=False)
+
+    fns = {
+        "step": jax.jit(step, donate_argnums=(0, 1, 2)),
+        "eval": jax.jit(evalf, donate_argnums=(1,)),
+        "drain_train": jax.jit(drain_train, donate_argnums=(0, 1, 2)),
+        "drain_eval": jax.jit(drain_eval, donate_argnums=(1,)),
+    }
+    return state, fns["step"], fns["eval"], fns
 
 
 def zero_acc():

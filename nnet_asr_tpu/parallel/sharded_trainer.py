@@ -38,8 +38,8 @@ class ShardedTrainer:
         self.cfg = cfg
         self.mesh = mesh
         self.pipeline = TransformPipeline(transform, start_frm_ext, end_frm_ext)
-        self.state, self._step, self._eval = make_sharded_train_step(
-            net, cfg.sgd, mesh)
+        self.state, self._step, self._eval, self._fns = \
+            make_sharded_train_step(net, cfg.sgd, mesh)
         self.state.to_device(mesh)
         self.stats = XentStats()
         self._data_sharding = NamedSharding(mesh, P("data", None))
@@ -70,14 +70,23 @@ class ShardedTrainer:
         return f, l
 
     def _drain_cache(self, cache: FrameCache) -> None:
+        stacked = cache.take_stacked()
+        if stacked is None:
+            return
+        feats_all, labels_all = stacked
+        from jax.sharding import PartitionSpec as P
+
+        fsh = jax.device_put(feats_all, jax.NamedSharding(
+            self.mesh, P(None, "data", None)))
+        lsh = jax.device_put(labels_all, jax.NamedSharding(
+            self.mesh, P(None, "data")))
         acc = zero_acc()
-        for feats, labels in cache.bunches():
-            f, l = self._put(feats, np.asarray(labels))
-            if self.cfg.crossvalidate:
-                acc = self._eval(self.state.params, acc, f, l)
-            else:
-                self.state.params, self.state.velocity, acc = self._step(
-                    self.state.params, self.state.velocity, acc, f, l)
+        if self.cfg.crossvalidate:
+            acc = self._fns["drain_eval"](self.state.params, acc, fsh, lsh)
+        else:
+            self.state.params, self.state.velocity, acc = \
+                self._fns["drain_train"](self.state.params,
+                                         self.state.velocity, acc, fsh, lsh)
         self.stats.add(float(acc["xent"]), int(acc["frames"]),
                        int(acc["correct"]))
 

@@ -168,3 +168,46 @@ def test_feedforward_blockwise_matches_full(example01):
     blocked = np.asarray(net.feedforward(
         x, start_frm_ext=25, end_frm_ext=25, max_frames=1000, block=512))
     np.testing.assert_allclose(blocked, full, rtol=1e-5, atol=1e-5)
+
+
+def test_mmf_fuzz_roundtrip():
+    """Random component stacks round-trip through the MMF text format."""
+    import io as _io
+    rng = np.random.default_rng(42)
+    from nnet_asr_tpu.models import components as C
+    from nnet_asr_tpu.models.network import write_component
+
+    for trial in range(10):
+        dims = [int(rng.integers(2, 12)) for _ in range(4)]
+        specs_params = []
+        d = dims[0]
+        for nxt in dims[1:]:
+            kind = rng.integers(0, 5)
+            if kind == 0:
+                specs_params.append((C.BiasedLinearity(d, nxt), {
+                    "weight": rng.standard_normal((d, nxt)).astype(np.float32),
+                    "bias": rng.standard_normal(nxt).astype(np.float32)}))
+                d = nxt
+            elif kind == 1:
+                specs_params.append((C.Bias(d, d), {
+                    "bias": rng.standard_normal(d).astype(np.float32)}))
+            elif kind == 2:
+                specs_params.append((C.Window(d, d), {
+                    "window": rng.standard_normal(d).astype(np.float32)}))
+            elif kind == 3:
+                specs_params.append((C.Sigmoid(d, d), {}))
+            else:
+                k = int(rng.integers(1, 4))
+                offs = tuple(range(-k, k + 1))
+                specs_params.append((C.Expand(d, d * len(offs), offsets=offs), {}))
+                d = d * len(offs)
+        buf = _io.StringIO()
+        for spec, p in specs_params:
+            write_component(buf, spec, p)
+        net = Network.read(buf.getvalue())
+        net.check_dims()
+        x = rng.standard_normal((7, dims[0])).astype(np.float32)
+        y1 = np.asarray(net.forward(x))
+        net2 = Network.read(net.to_text())
+        y2 = np.asarray(net2.forward(x))
+        np.testing.assert_array_equal(y1, y2)

@@ -58,7 +58,7 @@ def test_sharded_matches_single_chip(data, model):
     ref = _run_reference(net, bunches, sgd_cfg)
 
     mesh = make_mesh(data=data, model=model)
-    state, step, evalf = make_sharded_train_step(net, sgd_cfg, mesh)
+    state, step, evalf, _ = make_sharded_train_step(net, sgd_cfg, mesh)
     state.to_device(mesh)
     acc = zero_acc()
     with jax.default_matmul_precision("highest"):
@@ -82,7 +82,7 @@ def test_sharded_eval():
     rng = np.random.default_rng(1)
     net = _mlp(rng)
     mesh = make_mesh(data=2, model=4)
-    state, step, evalf = make_sharded_train_step(net, SgdConfig(), mesh)
+    state, step, evalf, _ = make_sharded_train_step(net, SgdConfig(), mesh)
     state.to_device(mesh)
     X = rng.standard_normal((16, 16)).astype(np.float32)
     labels = rng.integers(0, 24, 16).astype(np.int32)
