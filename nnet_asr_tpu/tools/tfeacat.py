@@ -91,20 +91,29 @@ def main(argv=None) -> int:
     t0 = time.time()
     frames = 0
     step = max(len(entries) // 100, 1)
-    for cnt, e in enumerate(entries):
-        feats = reader.read(e.physical, e.logical)
-        out = np.asarray(pipe([feats])[0])
-        if gmm_bypass:
-            out = np.sqrt(np.maximum(-2.0 * np.log(out), 0.0))
-        elif log_posterior:
-            out = np.log(out)
-        target = make_htk_filename(e.logical, p_dir, p_ext)
-        write_htk_file(target, out, PARMKIND_USER,
-                       reader.last_header.sample_period,
-                       feaparams["big_endian"])
-        frames += out.shape[0]
-        if trace & 1 and cnt % step == 0:
-            print(f"{100 * (cnt + 1) // len(entries)}%, ", end="", flush=True)
+    cnt = 0
+    BATCH = 16      # utterances transformed per device call
+    for lo in range(0, len(entries), BATCH):
+        batch = entries[lo:lo + BATCH]
+        feats_list, periods = [], []
+        for e in batch:
+            feats_list.append(reader.read(e.physical, e.logical))
+            periods.append(reader.last_header.sample_period)
+        outs = pipe(feats_list)
+        for e, out_dev, period in zip(batch, outs, periods):
+            out = np.asarray(out_dev)
+            if gmm_bypass:
+                out = np.sqrt(np.maximum(-2.0 * np.log(out), 0.0))
+            elif log_posterior:
+                out = np.log(out)
+            target = make_htk_filename(e.logical, p_dir, p_ext)
+            write_htk_file(target, out, PARMKIND_USER, period,
+                           feaparams["big_endian"])
+            frames += out.shape[0]
+            if trace & 1 and cnt % step == 0:
+                print(f"{100 * (cnt + 1) // len(entries)}%, ", end="",
+                      flush=True)
+            cnt += 1
 
     if trace & 1:
         print(f"\nTFeaCat finished: {time.time() - t0:.2f}s "
