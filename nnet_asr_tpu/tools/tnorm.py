@@ -25,6 +25,7 @@ from ..train.pipeline import TransformPipeline
 from ..utils.config import UserInterface
 
 OPTION_STRING = (
+    " -H l   SOURCEMMF"
     " -D n   PRINTCONFIG=TRUE"
     " -S l   SCRIPT"
     " -T r   TRACE"
@@ -40,7 +41,9 @@ def main(argv=None) -> int:
     args_parsed = ui.parse_options(argv, OPTION_STRING, SNAME)
 
     reader, feaparams = ui.make_feature_reader()
-    p_transform = ui.get_str("FEATURETRANSFORM")
+    # the reference passes the transform as -H SOURCEMMF (TNorm.cc:142);
+    # FEATURETRANSFORM is accepted as an alias
+    p_transform = ui.get_str("SOURCEMMF") or ui.get_str("FEATURETRANSFORM")
     p_targetmmf = ui.get_str("TARGETMMF")
     p_script = ui.get_str("SCRIPT")
     trace = ui.get_int("TRACE", 0)
