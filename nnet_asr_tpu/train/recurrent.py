@@ -49,14 +49,19 @@ class RecurrentTrainer:
         self._build()
 
     def _forward_seg(self, params, x_seg, h_list):
-        """Forward K frames through the stack, scanning recurrent layers."""
+        """Forward a (B, K, D) segment batch; recurrent layers scan time
+        per utterance (vmapped over the batch)."""
+        import jax
+
         h_out = list(h_list)
         h = x_seg
         ri = 0
         logits = None
         for i, spec in enumerate(self.net.specs):
             if isinstance(spec, Recurrent):
-                h, h_last = spec.apply_with_state(params[i], h, h_list[ri])
+                h, h_last = jax.vmap(
+                    lambda xs, h0, p=params[i], s=spec:
+                        s.apply_with_state(p, xs, h0))(h, h_list[ri])
                 h_out[ri] = h_last
                 ri += 1
             elif isinstance(spec, Softmax) and i == len(self.net.specs) - 1:
@@ -77,10 +82,11 @@ class RecurrentTrainer:
         n_out = net.n_outputs
 
         def seg_loss(params, x_seg, labels_seg, mask_seg, h_list):
+            # x_seg (B, K, D), labels/mask (B, K)
             logits, h_new = self._forward_seg(params, x_seg, h_list)
             lp = jax.nn.log_softmax(logits, axis=-1)
-            rows = jnp.arange(logits.shape[0])
-            picked = lp[rows, labels_seg]
+            picked = jnp.take_along_axis(
+                lp, labels_seg[..., None], axis=-1)[..., 0]
             loss = -jnp.sum(jnp.where(mask_seg, picked, 0.0))
             pred = jnp.argmax(logits, axis=-1)
             stats = {
@@ -94,9 +100,10 @@ class RecurrentTrainer:
             return loss, (stats, h_new)
 
         def utt_step(params, velocity, acc, feats, labels, mask):
-            """feats (n_seg, K, D); scan segments, truncating grads at
+            """feats (n_seg, B, K, D); scan segments, truncating grads at
             boundaries via stop_gradient on the carried state."""
-            h_init = [jnp.zeros((net.specs[i].n_outputs,), jnp.float32)
+            B = feats.shape[1]
+            h_init = [jnp.zeros((B, net.specs[i].n_outputs), jnp.float32)
                       for i in self.rec_idx]
 
             def body(carry, seg):
@@ -128,25 +135,50 @@ class RecurrentTrainer:
                 "frames": jnp.zeros((), jnp.int32)}
 
     def train_utterance(self, feats: np.ndarray, labels: np.ndarray) -> None:
+        self.train_batch([feats], [labels])
+
+    def train_batch(self, feats_list, labels_list) -> None:
+        """Train a batch of utterances together (TPU-native mode).
+
+        Utterances are padded to a common segment grid and scanned as one
+        program; each segment step updates once with the summed gradient
+        over the batch — batched truncated BPTT. With a single utterance
+        this reduces to the utterance-serial behavior.
+        """
         K = self.cfg.bptt_order
-        T, D = feats.shape
-        n_seg = -(-T // K)
-        pad = n_seg * K - T
-        f = np.pad(feats.astype(np.float32), ((0, pad), (0, 0)))
-        l = np.pad(labels.astype(np.int32), (0, pad))
-        m = np.pad(np.ones(T, bool), (0, pad))
+        B = len(feats_list)
+        D = feats_list[0].shape[1]
+        T_max = max(f.shape[0] for f in feats_list)
+        n_seg = -(-T_max // K)
+        F = np.zeros((B, n_seg * K, D), np.float32)
+        L = np.zeros((B, n_seg * K), np.int32)
+        M = np.zeros((B, n_seg * K), bool)
+        for b, (f, l) in enumerate(zip(feats_list, labels_list)):
+            T = f.shape[0]
+            F[b, :T] = f
+            L[b, :T] = l
+            M[b, :T] = True
+        # (n_seg, B, K, ...) so lax.scan walks segments
+        F = np.moveaxis(F.reshape(B, n_seg, K, D), 0, 1)
+        L = np.moveaxis(L.reshape(B, n_seg, K), 0, 1)
+        M = np.moveaxis(M.reshape(B, n_seg, K), 0, 1)
         acc = self._zero_acc()
         self.params, self.velocity, acc = self._utt_step(
             self.params, self.velocity, acc,
-            jnp.asarray(f.reshape(n_seg, K, D)),
-            jnp.asarray(l.reshape(n_seg, K)),
-            jnp.asarray(m.reshape(n_seg, K)))
+            jnp.asarray(F), jnp.asarray(L), jnp.asarray(M))
         self.stats.add(float(acc["xent"]), int(acc["frames"]),
                        int(acc["correct"]))
 
-    def run_epoch(self, utterances) -> None:
+    def run_epoch(self, utterances, batch_utts: int = 1) -> None:
+        pend_f, pend_l = [], []
         for feats, labels in utterances:
-            self.train_utterance(np.asarray(feats), np.asarray(labels))
+            pend_f.append(np.asarray(feats, np.float32))
+            pend_l.append(np.asarray(labels, np.int32))
+            if len(pend_f) >= batch_utts:
+                self.train_batch(pend_f, pend_l)
+                pend_f, pend_l = [], []
+        if pend_f:
+            self.train_batch(pend_f, pend_l)
 
     def updated_network(self) -> Network:
         host = [{k: np.asarray(v) for k, v in p.items()} for p in self.params]

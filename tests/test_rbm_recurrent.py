@@ -156,3 +156,19 @@ def test_recurrent_crossvalidate_no_update():
     np.testing.assert_allclose(np.asarray(tr.params[0]["weight"]),
                                np.asarray(net.params[0]["weight"]))
     assert tr.stats.frames == 3 * 40
+
+
+def test_recurrent_batched_mode_learns():
+    """batch_utts > 1 (batched truncated BPTT) also learns the toy task."""
+    rng = np.random.default_rng(8)
+    net = _recurrent_net(rng)
+    cfg = RecurrentTrainerConfig(
+        bptt_order=4, sgd=SgdConfig(learning_rate=0.5, grad_div_frm=True))
+    tr = RecurrentTrainer(net, cfg)
+    utts = _toy_sequences(rng)
+    accs = []
+    for epoch in range(8):
+        tr.stats = type(tr.stats)()
+        tr.run_epoch(iter(utts), batch_utts=4)
+        accs.append(tr.stats.accuracy)
+    assert accs[-1] > accs[0] + 10.0, accs
