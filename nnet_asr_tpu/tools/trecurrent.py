@@ -113,5 +113,18 @@ def main(argv=None) -> int:
     return 0
 
 
+def _cli():
+    """Reference-style top-level error handling (TNet.cc:371-376)."""
+    import sys
+    try:
+        sys.exit(main())
+    except SystemExit:
+        raise
+    except Exception as e:
+        print("Exception thrown", file=sys.stderr)
+        print(e, file=sys.stderr)
+        sys.exit(1)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    _cli()
