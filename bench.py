@@ -80,21 +80,43 @@ def main():
             tr.params, tr.velocity, acc, feats_all, labels_all)
     float(tr.params[0]["weight"][0, 0])
 
-    # adaptive timing: per-drain wall times (fetch a scalar each time —
-    # block_until_ready can return early through the remote tunnel), best
-    # time wins so transient tunnel latency doesn't mask chip capability
-    times = []
+    # The axon tunnel adds a ~30ms round-trip per host-visible result, so
+    # per-drain timing measures the network, not the chip.  Instead loop M
+    # whole-cache drains ON DEVICE inside one XLA call (fori_loop around the
+    # scan-drain) and fetch a single scalar at the end; with M sized so the
+    # chip works for >=1s, the RTT is <3% of the window.  Per-drain chip
+    # time cross-checked at ~1.3ms via an M=50 tiled run (11M frames/s).
+    def mega(params, velocity, acc, M):
+        def body(_, carry):
+            p, v, a = carry
+            return drain(p, v, a, feats_all, labels_all)
+        return jax.lax.fori_loop(0, M, body, (params, velocity, acc))
+
+    drain = tr._drain_train
+    mega = jax.jit(mega, static_argnums=(3,), donate_argnums=(0, 1, 2))
+
+    # size M so one timed run is ~1.2s of chip work (compile first, then time)
+    tr.params, tr.velocity, acc = mega(tr.params, tr.velocity, acc, 16)
+    float(tr.params[0]["weight"][0, 0])
+    t0 = time.perf_counter()
+    tr.params, tr.velocity, acc = mega(tr.params, tr.velocity, acc, 16)
+    float(tr.params[0]["weight"][0, 0])
+    per_drain = (time.perf_counter() - t0) / 16
+    M = max(16, min(2048, int(1.2 / max(per_drain, 1e-5))))
+    tr.params, tr.velocity, acc = mega(tr.params, tr.velocity, acc, M)  # compile
+    float(tr.params[0]["weight"][0, 0])
+
+    best = float("inf")
     budget_end = time.perf_counter() + 90.0
-    for _ in range(60):
+    for _ in range(8):
         t0 = time.perf_counter()
-        tr.params, tr.velocity, acc = tr._drain_train(
-            tr.params, tr.velocity, acc, feats_all, labels_all)
+        tr.params, tr.velocity, acc = mega(tr.params, tr.velocity, acc, M)
         float(tr.params[0]["weight"][0, 0])
-        times.append(time.perf_counter() - t0)
-        if time.perf_counter() > budget_end and len(times) >= 5:
+        best = min(best, time.perf_counter() - t0)
+        if time.perf_counter() > budget_end:
             break
 
-    fps = nb * bunch / min(times)
+    fps = M * nb * bunch / best
     watchdog.cancel()
     print(json.dumps({
         "metric": "mlp3_train_frames_per_sec",
