@@ -82,3 +82,28 @@ def arc_forward_backward_batch_jax(log_obs: np.ndarray, lt: np.ndarray):
     ll, occ = arc_fb_device(jnp.asarray(log_obs, jnp.float32),
                             jnp.asarray(lt, jnp.float32))
     return np.asarray(ll, dtype=np.float64), np.asarray(occ, dtype=np.float64)
+
+
+@jax.jit
+def arc_fwd_device(log_obs: jnp.ndarray, lt: jnp.ndarray):
+    """Forward-only arc scoring (no occupancies) — the cheap pass of the
+    prune-then-occupancy path (train.mpe.arc_forward_batch)."""
+    A, L, S = log_obs.shape
+    inner = lt[:, 1:S + 1, 1:S + 1]
+    alpha0 = lt[:, 0, 1:S + 1] + log_obs[:, 0]
+
+    def fwd(carry, obs_t):
+        a = _lse(carry[:, :, None] + inner, axis=1) + obs_t
+        return a, None
+
+    alphaT, _ = jax.lax.scan(fwd, alpha0,
+                             jnp.moveaxis(log_obs[:, 1:], 1, 0))
+    log_like = _lse(alphaT + lt[:, 1:S + 1, S + 1], axis=1)
+    return jnp.where(log_like > LOG_ZERO / 2, log_like, LOG_ZERO)
+
+
+def arc_forward_batch_jax(log_obs: np.ndarray, lt: np.ndarray):
+    """Host-array wrapper matching train.mpe.arc_forward_batch."""
+    ll = arc_fwd_device(jnp.asarray(log_obs, jnp.float32),
+                        jnp.asarray(lt, jnp.float32))
+    return np.asarray(ll, dtype=np.float64)

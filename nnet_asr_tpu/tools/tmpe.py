@@ -41,6 +41,7 @@ OPTION_STRING = (
     " -L r   SOURCETRANSCDIR"
     " -S l   SCRIPT"
     " -T r   TRACE"
+    " -t ror PRUNING PRUNINGINC PRUNINGMAX"
     " -V n   PRINTVERSION=TRUE"
     " -X r   SOURCETRANSCEXT"
 )
@@ -72,6 +73,10 @@ def main(argv=None) -> int:
     weightcost = ui.get_flt("WEIGHTCOST", 0.0)
     grad_div_frm = ui.get_bool("GRADDIVFRM", True)
     ml_gamma = ui.get_bool("MLGAMMA", False)
+    state_pruning = ui.get_flt("PRUNING", 0.0)
+    stprn_step = ui.get_flt("PRUNINGINC", 0.0)
+    stprn_limit = ui.get_flt("PRUNINGMAX", 0.0)
+    nframeoutpnorm = ui.get_bool("NFRAMEOUTPNORM", False)
     # MMI mode: err = -kappa*(onehot(numerator alignment) - gamma_den^ML).
     # Restores the capability of TMmiCu, which the reference build lists
     # but whose source is absent from the fork (src/Makefile:46).
@@ -156,10 +161,43 @@ def main(argv=None) -> int:
         ref_segments = labels_to_phone_segments(labs, label_names)
         lat = lattices.get(e.logical)
 
+        # per-utterance pruning threshold with the reference's
+        # widen-and-retry loop (TMpeCu.cc:570-609); NFRAMEOUTPNORM divides
+        # the decoder-internal kappa and all thresholds by n_frames (the
+        # error scale below keeps the original kappa, TMpeCu.cc:630)
+        thresh, prn_step, prn_limit = state_pruning, stprn_step, stprn_limit
+        mpe.cfg.outprb_scale = outprb_scale
+        if nframeoutpnorm:
+            mpe.cfg.outprb_scale = outprb_scale / T
+            thresh /= T
+            prn_step /= T
+            prn_limit /= T
+
         td = time.time()
-        gammas, avg_acc, _ = mpe.compute(lat, log_post, ref_segments,
-                                         utt_weight=e.weight)
+        gammas = None
+        while True:
+            try:
+                gammas, avg_acc, _ = mpe.compute(
+                    lat, log_post, ref_segments, utt_weight=e.weight,
+                    pruning=thresh)
+                break
+            except FloatingPointError:
+                if thresh <= 0.0:
+                    raise           # no pruning active: genuinely bad data
+                if prn_step <= 0.0 or thresh + prn_step > prn_limit:
+                    # the reference raises Error here despite the wording
+                    # (TMpeCu.cc:600); with no beam left to widen we skip
+                    # the utterance instead of aborting the whole run
+                    print(f"WARNING: Overpruning or bad data, skipping "
+                          f"file {e.logical}", file=sys.stderr)
+                    break
+                thresh += prn_step
+                print(f"WARNING: Overpruning or bad data in file "
+                      f"{e.logical}, trying pruning threshold: {thresh:g}",
+                      file=sys.stderr)
         t_decode += time.time() - td
+        if gammas is None:
+            continue
         if show_gamma:
             print(f"{e.logical}: avgAcc {avg_acc:.4f}")
 

@@ -51,6 +51,11 @@ class MpeConfig:
     outprb_scale: float = 1.0          # kappa (acoustic/posterior scale)
     ml_gamma: bool = False             # plain ML occupancy accumulation
     frame_rate: float = 100.0
+    # lattice beam (log domain): nodes whose alpha falls more than this
+    # below the best alpha at the same node time are deactivated, as
+    # STK's token-passing state pruning (Decoder mPruningThresh,
+    # TMpeCu.cc:559: 0 means no pruning / -LOG_0)
+    pruning: float = 0.0
 
 
 @dataclass
@@ -154,6 +159,30 @@ def arc_forward_backward_batch(log_obs: np.ndarray, lt: np.ndarray):
     return np.where(ok, log_like, LOG_ZERO), occ
 
 
+def arc_forward_batch(log_obs: np.ndarray, lt: np.ndarray) -> np.ndarray:
+    """Forward-only half of ``arc_forward_backward_batch``: arc acoustic
+    log-likelihoods without materializing occupancies.  This is the cheap
+    scoring pass of the prune-then-occupancy path — occupancies are filled
+    in later only for arcs that survive the lattice beam."""
+    A, L, S = log_obs.shape
+    inner = lt[:, 1:S + 1, 1:S + 1]
+
+    def lse(x, axis):
+        m = np.max(x, axis=axis)
+        good = m > LOG_ZERO / 2
+        with np.errstate(over="ignore"):
+            out = m + np.log(np.sum(np.exp(x - np.expand_dims(m, axis)),
+                                    axis=axis) + 1e-300)
+        return np.where(good, out, LOG_ZERO)
+
+    alpha = lt[:, 0, 1:S + 1] + log_obs[:, 0]
+    for t in range(1, L):
+        prev = alpha[:, :, None] + inner
+        alpha = lse(prev, axis=1) + log_obs[:, t]
+    log_like = lse(alpha + lt[:, 1:S + 1, S + 1], axis=1)
+    return np.where(log_like > LOG_ZERO / 2, log_like, LOG_ZERO)
+
+
 def povey_phone_accuracy(phone: str, t0: int, t1: int,
                          ref: Sequence[Tuple[int, int, str]]) -> float:
     """Approximate raw phone accuracy (Povey 2002):
@@ -196,15 +225,23 @@ class MpeComputer:
         self.label_map = label_map
         self.cfg = cfg
         if engine == "jax":
-            from ..ops.mpe_device import arc_forward_backward_batch_jax
+            from ..ops.mpe_device import (arc_forward_backward_batch_jax,
+                                          arc_forward_batch_jax)
             self._arc_fb_batch = arc_forward_backward_batch_jax
+            self._arc_fwd_batch = arc_forward_batch_jax
         else:
             self._arc_fb_batch = arc_forward_backward_batch
+            self._arc_fwd_batch = arc_forward_batch
         self._senone_cache = {
             name: h.senone_ids(label_map) for name, h in hmms.items()}
+        with np.errstate(divide="ignore"):
+            self._log_tp = {
+                name: np.where(h.transp > 0,
+                               np.log(np.maximum(h.transp, 1e-300)), LOG_ZERO)
+                for name, h in hmms.items()}
 
     # ------------------------------------------------------------------
-    def _prepare_arcs(self, lat: Lattice, log_post: np.ndarray) -> List[ArcInfo]:
+    def _build_arcs(self, lat: Lattice, log_post: np.ndarray):
         T = log_post.shape[0]
         arcs: List[ArcInfo] = []
         buckets: Dict[Tuple[int, int], List[int]] = {}
@@ -226,35 +263,75 @@ class MpeComputer:
                            score=self.cfg.lm_scale * a.lm)
             buckets.setdefault((t1 - t0, len(ids)), []).append(len(arcs))
             arcs.append(info)
+        return arcs, buckets
 
-        # batched within-arc FB per (length, n_states) bucket
-        with np.errstate(divide="ignore"):
-            log_tp = {
-                name: np.where(h.transp > 0,
-                               np.log(np.maximum(h.transp, 1e-300)), LOG_ZERO)
-                for name, h in self.hmms.items()}
+    def _bucket_inputs(self, arcs, idxs, L, S, log_post):
+        obs = np.empty((len(idxs), L, S))
+        lt = np.empty((len(idxs), S + 2, S + 2))
+        for j, i in enumerate(idxs):
+            a = arcs[i]
+            obs[j] = self.cfg.outprb_scale * log_post[a.t0:a.t1][:, a.senones]
+            lt[j] = self._log_tp[a.phone]
+        return obs, lt
+
+    def _prepare_arcs(self, lat: Lattice, log_post: np.ndarray) -> List[ArcInfo]:
+        """Full pass: arc scores AND occupancies (no-pruning fast path —
+        one batched FB per (length, n_states) bucket)."""
+        arcs, buckets = self._build_arcs(lat, log_post)
         for (L, S), idxs in buckets.items():
-            obs = np.empty((len(idxs), L, S))
-            lt = np.empty((len(idxs), S + 2, S + 2))
-            for j, i in enumerate(idxs):
-                a = arcs[i]
-                obs[j] = self.cfg.outprb_scale * log_post[a.t0:a.t1][:, a.senones]
-                lt[j] = log_tp[a.phone]
+            obs, lt = self._bucket_inputs(arcs, idxs, L, S, log_post)
             lls, occs = self._arc_fb_batch(obs, lt)
             for j, i in enumerate(idxs):
                 arcs[i].log_like = float(lls[j])
                 arcs[i].occupancy = occs[j]
                 arcs[i].score += float(lls[j])
-        return arcs
+        return arcs, buckets
+
+    def _score_arcs(self, lat: Lattice, log_post: np.ndarray):
+        """Scoring-only pass (forward recursions, no occupancies) — used
+        when a lattice beam is active so occupancies are computed only for
+        surviving arcs."""
+        arcs, buckets = self._build_arcs(lat, log_post)
+        for (L, S), idxs in buckets.items():
+            obs, lt = self._bucket_inputs(arcs, idxs, L, S, log_post)
+            lls = self._arc_fwd_batch(obs, lt)
+            for j, i in enumerate(idxs):
+                arcs[i].log_like = float(lls[j])
+                arcs[i].score += float(lls[j])
+        return arcs, buckets
+
+    def _fill_occupancies(self, arcs, idxs, log_post):
+        """Occupancy FB for the given (surviving) arc indices."""
+        buckets: Dict[Tuple[int, int], List[int]] = {}
+        for i in idxs:
+            a = arcs[i]
+            buckets.setdefault((a.t1 - a.t0, len(a.senones)), []).append(i)
+        for (L, S), ids in buckets.items():
+            obs, lt = self._bucket_inputs(arcs, ids, L, S, log_post)
+            _, occs = self._arc_fb_batch(obs, lt)
+            for j, i in enumerate(ids):
+                arcs[i].occupancy = occs[j]
 
     # ------------------------------------------------------------------
     def compute(self, lat: Lattice, log_post: np.ndarray,
                 ref_segments: Sequence[Tuple[int, int, str]],
                 utt_weight: float = 1.0,
-                frame_weights: Optional[np.ndarray] = None):
-        """Returns (gammas (T, C), avg_accuracy, log_prob)."""
+                frame_weights: Optional[np.ndarray] = None,
+                pruning: Optional[float] = None):
+        """Returns (gammas (T, C), avg_accuracy, log_prob).
+
+        ``pruning`` overrides cfg.pruning for this utterance (the
+        widen-and-retry loop of TMpeCu.cc:587-609 passes successively
+        wider beams). Raises FloatingPointError on forward-backward
+        underflow — overpruning or bad data.
+        """
         T, C = log_post.shape
-        arcs = self._prepare_arcs(lat, log_post)
+        beam = self.cfg.pruning if pruning is None else pruning
+        beam = beam if beam > 0.0 else None     # 0 => -LOG_0, TMpeCu.cc:559
+        if beam is None:
+            arcs, _ = self._prepare_arcs(lat, log_post)
+        else:
+            arcs, _ = self._score_arcs(lat, log_post)
         n = len(lat.nodes)
 
         in_arcs: List[List[int]] = [[] for _ in range(n)]
@@ -282,17 +359,49 @@ class MpeComputer:
         arc_score = [a.score for a in arcs]
 
         # ---- alpha/beta over nodes -----------------------------------
+        # With a beam, nodes are processed in time groups and any node
+        # whose alpha falls more than ``beam`` below the group's best is
+        # deactivated (alpha := LOG_ZERO) — the lattice analog of STK's
+        # per-frame token beam (Decoder mPruningThresh). Overpruning can
+        # kill every path; compute() then underflows and the caller widens
+        # the beam (TMpeCu.cc:587-609).
         alpha = [LOG_ZERO] * n
         for i in start_nodes:
             alpha[i] = 0.0
+        group: List[int] = []
+        group_time = None
+        pruned: set = set()
+
+        def _apply_beam():
+            if beam is None or not group:
+                return
+            best = max(alpha[j] for j in group)
+            if best <= LOG_ZERO / 2:
+                return
+            for j in group:
+                if alpha[j] < best - beam:
+                    alpha[j] = LOG_ZERO
+                    pruned.add(j)
+            group.clear()
+
         for i in order:
+            if beam is not None and lat.nodes[i].time != group_time:
+                _apply_beam()
+                group_time = lat.nodes[i].time
+                group = []
             if in_arcs[i]:
                 alpha[i] = _lse_list(
                     [alpha[arc_start[q]] + arc_score[q] for q in in_arcs[i]])
+            if beam is not None:
+                group.append(i)
+        _apply_beam()
         beta = [LOG_ZERO] * n
         for i in end_nodes:
-            beta[i] = 0.0
+            if i not in pruned:
+                beta[i] = 0.0
         for i in reversed(order):
+            if i in pruned:
+                continue            # dead node: paths through it stay dead
             if out_arcs[i]:
                 beta[i] = _lse_list(
                     [arc_score[q] + beta[arc_end[q]] for q in out_arcs[i]])
@@ -326,6 +435,8 @@ class MpeComputer:
             if in_arcs[i]:
                 ws = [alpha[arc_start[q]] + arc_score[q] for q in in_arcs[i]]
                 z = _lse_list(ws)
+                if z <= LOG_ZERO / 2:
+                    continue        # all predecessors pruned/unreachable
                 alpha_acc[i] = sum(
                     _exp(w - z) * (alpha_acc[arc_start[q]] + arcs[q].accuracy)
                     for w, q in zip(ws, in_arcs[i]))
@@ -334,6 +445,8 @@ class MpeComputer:
             if out_arcs[i]:
                 ws = [arc_score[q] + beta[arc_end[q]] for q in out_arcs[i]]
                 z = _lse_list(ws)
+                if z <= LOG_ZERO / 2:
+                    continue
                 beta_acc[i] = sum(
                     _exp(w - z) * (arcs[q].accuracy + beta_acc[arc_end[q]])
                     for w, q in zip(ws, out_arcs[i]))
@@ -341,16 +454,26 @@ class MpeComputer:
         c_avg = sum(_exp(alpha[i] - logZ) * alpha_acc[i] for i in end_nodes)
 
         # ---- scatter into (frame, senone) ----------------------------
+        def _coef(gq, a):
+            if self.cfg.ml_gamma:
+                return gq
+            return gq * (alpha_acc[a.start] + a.accuracy
+                         + beta_acc[a.end] - c_avg)
+
+        if beam is not None:
+            # occupancies were deferred; compute them only for arcs that
+            # survived the beam and actually contribute
+            needed = [i for i, a in enumerate(arcs)
+                      if a.senones and a.occupancy is None
+                      and _coef(gamma_q[i], a) != 0.0]
+            self._fill_occupancies(arcs, needed, log_post)
+
         gammas = np.zeros((T, C), dtype=np.float64)
         fw = frame_weights if frame_weights is not None else np.ones(T)
         for gq, a in zip(gamma_q, arcs):
             if not a.senones or a.occupancy is None:
                 continue
-            if self.cfg.ml_gamma:
-                coef = gq
-            else:
-                coef = gq * (alpha_acc[a.start] + a.accuracy
-                             + beta_acc[a.end] - c_avg)
+            coef = _coef(gq, a)
             if coef == 0.0:
                 continue
             seg = (coef * utt_weight) * a.occupancy \

@@ -121,11 +121,23 @@ class UserInterface:
             if opt == "A":
                 optind += 1
                 continue
-            m = re.search(rf" -{re.escape(opt)}\s+(\S+)\s+(\S+)", option_map)
+            m = re.search(rf" -{re.escape(opt)}\s+(\S+)((?:\s+\S+)+)", option_map)
             if not m:
                 raise ValueError(f"Invalid command line option '-{opt}'")
-            fmt, param = m.group(1), m.group(2)
-            for f in fmt:
+            fmt = m.group(1)
+            # one parameter name per format char (UserInterface.cc option
+            # maps like " -t ror PRUNING PRUNINGINC PRUNINGMAX"); stop at
+            # the next option's " -x" token
+            names = []
+            for tok in m.group(2).split():
+                if tok.startswith("-") or len(names) >= len(fmt):
+                    break
+                names.append(tok)
+            if len(names) < len(fmt):
+                raise ValueError(
+                    f"Option map entry for '-{opt}' lists {len(names)} "
+                    f"parameter names for format '{fmt}'")
+            for f, param in zip(fmt, names):
                 if f == "n":
                     if "=" in param:
                         k, v = param.split("=", 1)

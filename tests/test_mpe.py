@@ -222,6 +222,76 @@ def test_device_engine_matches_host():
     assert abs(z_jx - z_np) < 1e-4
 
 
+def test_forward_only_scorer_matches_full_fb():
+    from nnet_asr_tpu.train.mpe import (arc_forward_batch,
+                                        arc_forward_backward_batch)
+    rng = np.random.default_rng(11)
+    obs = rng.standard_normal((3, 6, 2))
+    hmm = _hmm("a", n_emit=2, self_loop=0.3)
+    with np.errstate(divide="ignore"):
+        lt = np.where(hmm.transp > 0, np.log(np.maximum(hmm.transp, 1e-300)),
+                      -1e30)
+    lt = np.broadcast_to(lt, (3,) + lt.shape).copy()
+    ll_full, _ = arc_forward_backward_batch(obs, lt)
+    ll_fwd = arc_forward_batch(obs, lt)
+    np.testing.assert_allclose(ll_fwd, ll_full, rtol=1e-10)
+
+
+def test_forward_only_scorer_jax_matches_numpy():
+    from nnet_asr_tpu.ops.mpe_device import arc_forward_batch_jax
+    from nnet_asr_tpu.train.mpe import arc_forward_batch
+    rng = np.random.default_rng(12)
+    obs = rng.standard_normal((4, 5, 3))
+    hmm = _hmm("a", n_emit=3, self_loop=0.5)
+    with np.errstate(divide="ignore"):
+        lt = np.where(hmm.transp > 0, np.log(np.maximum(hmm.transp, 1e-300)),
+                      -1e30)
+    lt = np.broadcast_to(lt, (4,) + lt.shape).copy()
+    np.testing.assert_allclose(arc_forward_batch_jax(obs, lt),
+                               arc_forward_batch(obs, lt), atol=1e-4)
+
+
+def test_pruning_wide_beam_matches_exact():
+    """A beam wider than any score spread must reproduce the exact result
+    through the prune-then-occupancy path."""
+    hmms, label_map = _setup()
+    rng = np.random.default_rng(13)
+    T, C = 12, 4
+    log_post = np.log(rng.dirichlet(np.ones(C), size=T)).astype(np.float32)
+    lat = _simple_lattice([(0, 1, "a", -0.3), (0, 2, "b", -0.1),
+                           (1, 3, "a", 0.0), (2, 3, "b", 0.0)],
+                          [0.0, 0.06, 0.06, 0.12])
+    ref = [(0, 6, "a"), (6, 12, "b")]
+    comp = MpeComputer(hmms, label_map, MpeConfig())
+    g0, c0, z0 = comp.compute(lat, log_post, ref)
+    g1, c1, z1 = comp.compute(lat, log_post, ref, pruning=1e6)
+    np.testing.assert_allclose(g1, g0, atol=1e-9)
+    assert c1 == pytest.approx(c0)
+    assert z1 == pytest.approx(z0)
+
+
+def test_pruning_tight_beam_kills_weak_path():
+    """With a tight beam the weak same-time node is deactivated: its arcs
+    contribute no gamma mass and its occupancies are never computed."""
+    hmms, label_map = _setup()
+    T, C = 12, 4
+    # make senone 0 ('a') strongly favored so the 'b' branch is weak
+    log_post = np.full((T, C), -8.0, dtype=np.float32)
+    log_post[:, 0] = -0.1
+    lat = _simple_lattice([(0, 1, "a", 0.0), (0, 2, "b", 0.0),
+                           (1, 3, "a", 0.0), (2, 3, "b", 0.0)],
+                          [0.0, 0.06, 0.06, 0.12])
+    ref = [(0, 12, "a")]
+    comp = MpeComputer(hmms, label_map, MpeConfig(ml_gamma=True))
+    g, _, _ = comp.compute(lat, log_post, ref, pruning=5.0)
+    # all ML occupancy lands on senone 0; the pruned 'b' branch is gone
+    assert g[:, 1].sum() == 0.0
+    np.testing.assert_allclose(g[:, 0], 1.0, atol=1e-6)
+    # sanity: without the beam the weak branch has (tiny) nonzero mass
+    g_exact, _, _ = comp.compute(lat, log_post, ref)
+    assert g_exact[:, 1].sum() > 0.0
+
+
 def test_stk_node_format_parse():
     """SVite's -z lat output: node lines + bare arc lines inside an MLF."""
     text = """N=6\tL=6

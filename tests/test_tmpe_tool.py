@@ -121,6 +121,74 @@ def test_tmpe_end_to_end(mpe_setup):
     assert acc1 >= 0.6, (acc0, acc1)
 
 
+def test_tmpe_pruning_and_retry_loop(mpe_setup, monkeypatch, capsys):
+    """-t beam inc max: the widen-and-retry loop of TMpeCu.cc:587-609.
+    Force the first two compute() calls to underflow and check the tool
+    retries with successively wider beams, then succeeds."""
+    tmp, utts = mpe_setup
+    from nnet_asr_tpu.tools import tmpe
+    from nnet_asr_tpu.train import mpe as mpe_mod
+
+    seen = []
+    real_compute = mpe_mod.MpeComputer.compute
+
+    def flaky(self, lat, log_post, ref, utt_weight=1.0, frame_weights=None,
+              pruning=None):
+        seen.append(pruning)
+        if len(seen) <= 2:
+            raise FloatingPointError("forced underflow")
+        return real_compute(self, lat, log_post, ref, utt_weight,
+                            frame_weights, pruning)
+
+    monkeypatch.setattr(mpe_mod.MpeComputer, "compute", flaky)
+    tmpe.main([
+        "tmpe", "-H", str(tmp / "init.mmf"), "-I", str(tmp / "labels.mlf"),
+        "-L", "*/", "-X", "lab",
+        "-m", str(tmp / "phones.map"),
+        "-t", "100", "50", "250",
+        "-S", str(tmp / "train.scp"),
+        "--HMM=" + str(tmp / "hmms.mmf"),
+        "--LATTICEDIR=" + str(tmp / "lats"),
+        "--TARGETMMF=" + str(tmp / "prune.mmf")])
+    assert seen[:3] == [100.0, 150.0, 200.0]
+    # remaining utterances go through at the base beam again
+    assert all(p == 100.0 for p in seen[3:])
+    err = capsys.readouterr().err
+    assert "trying pruning threshold: 150" in err
+
+
+def test_tmpe_retry_exhaustion_skips_file(mpe_setup, monkeypatch, capsys):
+    """When the beam reaches PRUNINGMAX the utterance is skipped, not fatal."""
+    tmp, utts = mpe_setup
+    from nnet_asr_tpu.tools import tmpe
+    from nnet_asr_tpu.train import mpe as mpe_mod
+
+    calls = {"n": 0}
+    real_compute = mpe_mod.MpeComputer.compute
+
+    def first_utt_fails(self, lat, log_post, ref, utt_weight=1.0,
+                        frame_weights=None, pruning=None):
+        calls["n"] += 1
+        if calls["n"] <= 2:       # base beam + one widening for utt 1
+            raise FloatingPointError("forced underflow")
+        return real_compute(self, lat, log_post, ref, utt_weight,
+                            frame_weights, pruning)
+
+    monkeypatch.setattr(mpe_mod.MpeComputer, "compute", first_utt_fails)
+    rc = tmpe.main([
+        "tmpe", "-H", str(tmp / "init.mmf"), "-I", str(tmp / "labels.mlf"),
+        "-L", "*/", "-X", "lab",
+        "-m", str(tmp / "phones.map"),
+        "-t", "100", "50", "150",
+        "-S", str(tmp / "train.scp"),
+        "--HMM=" + str(tmp / "hmms.mmf"),
+        "--LATTICEDIR=" + str(tmp / "lats"),
+        "--TARGETMMF=" + str(tmp / "prune2.mmf")])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "skipping file" in err
+
+
 def test_tmpe_mmi_mode(mpe_setup):
     """--MMI=TRUE (the TMmiCu restoration) also improves decisions."""
     tmp, utts = mpe_setup
