@@ -69,8 +69,12 @@ def xent_loss_and_stats(logits: jnp.ndarray, labels: jnp.ndarray,
         logp = block_log_softmax(logits, block_dims)
     else:
         logp = jax.nn.log_softmax(logits, axis=-1)
-    rows = jnp.arange(logits.shape[0])
-    picked = logp[rows, labels]
+    # one-hot contraction instead of logp[rows, labels]: a 2-D gather's
+    # VJP is a scatter, which serializes on TPU (measured 2.2x whole-step
+    # cost on the MLP3 workload); the dense mask rides the VPU and its
+    # gradient is the same err = softmax - onehot
+    onehot = jax.nn.one_hot(labels, logits.shape[1], dtype=logp.dtype)
+    picked = jnp.sum(logp * onehot, axis=-1)
     loss = -jnp.sum(picked)
 
     # stats (no gradient needed)

@@ -102,15 +102,16 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh):
             h = spec.apply(p, h)
         logits = h @ params[out_idx]["weight"] + params[out_idx]["bias"]
         out_loc = n_out // m_size
-        rows = jnp.arange(logits.shape[0])
 
         # distributed log-softmax over the model axis
         m = jax.lax.pmax(jnp.max(jax.lax.stop_gradient(logits), axis=1), "model")
         s = jax.lax.psum(jnp.sum(jnp.exp(logits - m[:, None]), axis=1), "model")
         off = jax.lax.axis_index("model") * out_loc
-        owns = (labels >= off) & (labels < off + out_loc)
-        picked_loc = jnp.where(
-            owns, logits[rows, jnp.clip(labels - off, 0, out_loc - 1)], 0.0)
+        # one-hot contraction (a gather's VJP is a TPU-hostile scatter);
+        # labels outside this shard's span give all-zero one-hot rows, so
+        # non-owning shards contribute 0 to the psum automatically
+        oh_loc = jax.nn.one_hot(labels - off, out_loc, dtype=logits.dtype)
+        picked_loc = jnp.sum(logits * oh_loc, axis=1)
         picked = jax.lax.psum(picked_loc, "model")
         logp = picked - m - jnp.log(s)
         # each model shard computes the same loss copy redundantly; scale by

@@ -85,8 +85,11 @@ class RecurrentTrainer:
             # x_seg (B, K, D), labels/mask (B, K)
             logits, h_new = self._forward_seg(params, x_seg, h_list)
             lp = jax.nn.log_softmax(logits, axis=-1)
-            picked = jnp.take_along_axis(
-                lp, labels_seg[..., None], axis=-1)[..., 0]
+            # one-hot contraction: take_along_axis's VJP is a scatter,
+            # which serializes on TPU
+            picked = jnp.sum(
+                lp * jax.nn.one_hot(labels_seg, n_out, dtype=lp.dtype),
+                axis=-1)
             loss = -jnp.sum(jnp.where(mask_seg, picked, 0.0))
             pred = jnp.argmax(logits, axis=-1)
             stats = {

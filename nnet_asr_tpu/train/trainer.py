@@ -39,7 +39,11 @@ class TrainerConfig:
     objective: str = "xent"          # 'xent' | 'mse'
     sgd: SgdConfig = field(default_factory=SgdConfig)
     trace: int = 0
-    # None = auto: fused Pallas kernels on TPU, XLA elsewhere
+    # None = auto: XLA everywhere. The hand-written Pallas kernels beat
+    # the original gather-based CE path 1.9x, but after the one-hot CE
+    # rewrite XLA's own fusion is faster than both kernels (measured
+    # 30.5us vs 37.5us per bunch on the MLP3 workload) — docs/KERNELS.md.
+    # True forces the Pallas path (kept for A/B measurement).
     use_pallas: Optional[bool] = None
     # 'bf16' runs the matmuls in bfloat16 (f32 master params, f32 loss/
     # stats/update) — the production-throughput mode; None = full f32
@@ -51,8 +55,7 @@ class TrainerConfig:
     def pallas_enabled(self) -> bool:
         if self.use_pallas is not None:
             return self.use_pallas
-        import jax
-        return jax.default_backend() == "tpu"
+        return False
 
 
 class Trainer:
@@ -169,20 +172,27 @@ class Trainer:
 
         # whole-cache drain as ONE program: lax.scan over stacked bunches —
         # removes per-bunch dispatch (the TPU analog of the reference's
-        # tight GetBunch loop, TNetCu.cc:427-441)
+        # tight GetBunch loop, TNetCu.cc:427-441). Partial unrolling lets
+        # XLA overlap each bunch's input slice with the previous bunch's
+        # compute (~15% step time on the MLP3 workload).
+        def _unroll(n_bunches):
+            return max(1, min(8, n_bunches))
+
         def drain_train(params, velocity, acc, feats_all, labels_all):
             def body(carry, batch):
                 p, v, a = carry
                 p, v, a = train_step(p, v, a, batch[0], batch[1])
                 return (p, v, a), None
             (params, velocity, acc), _ = jax.lax.scan(
-                body, (params, velocity, acc), (feats_all, labels_all))
+                body, (params, velocity, acc), (feats_all, labels_all),
+                unroll=_unroll(feats_all.shape[0]))
             return params, velocity, acc
 
         def drain_eval(params, acc, feats_all, labels_all):
             def body(a, batch):
                 return eval_step(a, params, batch[0], batch[1]), None
-            acc, _ = jax.lax.scan(body, acc, (feats_all, labels_all))
+            acc, _ = jax.lax.scan(body, acc, (feats_all, labels_all),
+                                  unroll=_unroll(feats_all.shape[0]))
             return acc
 
         self._drain_train = jax.jit(drain_train, donate_argnums=(0, 1, 2))
