@@ -61,6 +61,9 @@ def main(argv=None) -> int:
     p_ext = ui.get_str("TARGETPARAMEXT")
     gmm_bypass = ui.get_bool("GMMBYPASS", False)
     log_posterior = ui.get_bool("LOGPOSTERIOR", False)
+    # bf16 matmuls for the forward pass (posterior dumps don't need f32
+    # weights) — beyond-reference inference throughput mode
+    bf16 = ui.get_bool("BF16", False)
     trace = ui.get_int("TRACE", 0)
 
     if ui.get_bool("PRINTVERSION", False):
@@ -86,7 +89,8 @@ def main(argv=None) -> int:
                          "positional argument")
 
     pipe = TransformPipeline(combined, feaparams["start_frm_ext"],
-                             feaparams["end_frm_ext"])
+                             feaparams["end_frm_ext"],
+                             compute_dtype="bf16" if bf16 else None)
 
     t0 = time.time()
     frames = 0

@@ -58,6 +58,9 @@ def main(argv=None) -> int:
     weightcost = ui.get_flt("WEIGHTCOST", 0.0)
     bptt = ui.get_int("BPTT", 4)
     crossval = ui.get_bool("CROSSVALIDATE", False)
+    # exact reference-trajectory mode (one update per frame); slow —
+    # for validation against the reference binary
+    frame_serial = ui.get_bool("FRAMESERIAL", False)
     trace = ui.get_int("TRACE", 0)
     if ui.get_bool("PRINTCONFIG", False):
         ui.print_config()
@@ -83,6 +86,7 @@ def main(argv=None) -> int:
 
     cfg = RecurrentTrainerConfig(
         bptt_order=bptt, crossvalidate=crossval,
+        frame_serial=frame_serial and not crossval,
         sgd=SgdConfig(learning_rate=learning_rate, momentum=momentum,
                       weightcost=weightcost, grad_div_frm=False,
                       lr_factors=SgdConfig.parse_factors(lr_factors)))
@@ -97,7 +101,10 @@ def main(argv=None) -> int:
         feats = np.asarray(pipe([feats_ext])[0])
         labs = labels_repo.get_frame_labels(
             feats.shape[0], reader.last_header.sample_period, e.logical)
-        trainer.train_utterance(feats, labs)
+        if cfg.frame_serial:
+            trainer.train_utterance_serial(feats, labs)
+        else:
+            trainer.train_utterance(feats, labs)
         frames += feats.shape[0]
         if trace & 2:
             print(".", end="", flush=True)

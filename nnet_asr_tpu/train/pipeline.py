@@ -29,28 +29,45 @@ from ..models.network import Network
 
 class TransformPipeline:
     def __init__(self, transform: Optional[Network], start_ext: int = 0,
-                 end_ext: int = 0, chunk: int = 2048):
+                 end_ext: int = 0, chunk: int = 2048,
+                 compute_dtype: Optional[str] = None):
+        """``compute_dtype='bf16'`` runs the affine layers' matmuls in
+        bfloat16 (activations/softmax stay f32) — the inference
+        throughput mode for posterior dumps, which don't need f32
+        weights; results differ from f32 by ~1e-2 in posterior space."""
         self.transform = transform
         self.start_ext = start_ext
         self.end_ext = end_ext
         self.chunk = chunk
+        bf16 = compute_dtype == "bf16"
         if transform is not None:
             # linear transforms fold to one splice+matmul (the fast path;
             # see ops/fold_affine.py) — nonlinear ones run layer-by-layer
+            from ..models import components as C
             from ..ops.fold_affine import fold_transform
 
             folded = fold_transform(transform)
             if folded is not None:
                 sa, M, cvec = folded
+                if bf16:
+                    M = M.astype(jnp.bfloat16)
 
                 def apply_chunk(params, x, _sa=sa, _M=M, _c=cvec):
-                    return _sa.apply(_M, _c, x)
+                    if bf16:
+                        x = x.astype(jnp.bfloat16)
+                    y = _sa.apply(_M, _c, x)     # bf16@bf16 + f32 bias → f32
+                    return y.astype(jnp.float32)
             else:
                 specs = transform.specs
 
                 def apply_chunk(params, x):
                     for spec, p in zip(specs, params):
-                        x = spec.apply(p, x)
+                        if bf16 and isinstance(spec, C.BiasedLinearity):
+                            x = (x.astype(jnp.bfloat16)
+                                 @ p["weight"].astype(jnp.bfloat16)
+                                 ).astype(jnp.float32) + p["bias"]
+                        else:
+                            x = spec.apply(p, x)
                     return x
 
             self._apply_chunk = jax.jit(apply_chunk)

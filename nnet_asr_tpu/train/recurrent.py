@@ -32,6 +32,13 @@ class RecurrentTrainerConfig:
     bptt_order: int = 4              # TRecurrentCu.cc:194 default
     crossvalidate: bool = False
     sgd: SgdConfig = field(default_factory=SgdConfig)
+    # Exact frame-serial parity mode: reproduces the reference trajectory
+    # (one forward + immediate update per frame, BPTT-K history walk with
+    # the quirks of cuRecurrent::Update — weight correction without
+    # momentum, bias correction accumulator carrying momentum across
+    # frames). Orders of magnitude slower than the segment scan; for
+    # validation runs against the reference binary.
+    frame_serial: bool = False
 
 
 class RecurrentTrainer:
@@ -131,6 +138,144 @@ class RecurrentTrainer:
             return params, velocity, acc
 
         self._utt_step = jax.jit(utt_step, donate_argnums=(0, 1, 2))
+        if cfg.frame_serial:
+            self._build_serial()
+
+    # ------------------------------------------------------------------
+    # Exact frame-serial mode (TRecurrentCu.cc:357-371 main loop +
+    # cuRecurrent.cc:86-153 Update): per frame, forward one row through
+    # the whole stack, err = y − t, per-frame update of every updatable
+    # layer; the recurrent layer walks its [x_t; y_{t-1}] history ring
+    # with rank-1 corrections. Implemented as a lax.scan over frames with
+    # (params, velocity, history, bias-correction) in the carry; padding
+    # frames are masked by selecting the old state.
+    def _build_serial(self):
+        cfg, net = self.cfg, self.net
+        if len(self.rec_idx) != 1:
+            raise ValueError("frame-serial mode supports exactly one "
+                             "<recurrent> layer")
+        ridx = self.rec_idx[0]
+        rspec = net.specs[ridx]
+        n_in_r, n_out_r = rspec.n_inputs, rspec.n_outputs
+        K = cfg.bptt_order
+        below = net.specs[:ridx]
+        above = net.specs[ridx + 1:]
+        if not (above and isinstance(above[-1], Softmax)):
+            raise ValueError("recurrent trainer expects terminal <softmax>")
+        n_out = net.n_outputs
+        factors = self.factors
+        sgd = cfg.sgd
+        lr_r = sgd.learning_rate * factors[ridx]
+        # the recurrent layer updates manually below (its own momentum /
+        # decay quirks); mask it out of the generic SGD step
+        factors_no_r = tuple(0.0 if i == ridx else f
+                             for i, f in enumerate(factors))
+
+        def below_fn(pb, x):
+            for spec, p in zip(below, pb):
+                x = spec.apply(p, x)
+            return x
+
+        def above_loss(pa, y, label):
+            h = y
+            for spec, p in zip(above[:-1], pa[:-1]):
+                h = spec.apply(p, h)
+            lp = jax.nn.log_softmax(h, axis=-1)
+            picked = jnp.sum(
+                lp * jax.nn.one_hot(label, n_out, dtype=lp.dtype)[None, :])
+            pred = jnp.argmax(h[0])
+            stats = {
+                "xent": -jnp.maximum(jax.lax.stop_gradient(picked), -1e10),
+                "correct": (pred == label).astype(jnp.int32),
+                "frames": jnp.asarray(1, jnp.int32),
+            }
+            return -picked, stats
+
+        def frame_step(carry, frame):
+            params, velocity, hist, bias_corr, acc = carry
+            x, label, m = frame                     # x (D,), scalars
+            pb = params[:ridx]
+            pa = params[ridx + 1:]
+            W = params[ridx]["weight"]              # (in+out, out)
+            b = params[ridx]["bias"]
+
+            u, vjp_b = jax.vjp(lambda p: below_fn(p, x[None, :]), pb)
+            y_prev = hist[0, n_in_r:]
+            h_in = jnp.concatenate([u[0], y_prev])
+            new_hist = jnp.concatenate([h_in[None, :], hist[:-1]], axis=0)
+            y = jax.nn.sigmoid(h_in @ W + b)        # (n_out_r,)
+
+            loss, vjp_a, stats = jax.vjp(
+                lambda p, yy: above_loss(p, yy, label), pa, y[None, :],
+                has_aux=True)
+            grads_a, g_y = vjp_a(jnp.ones(()))
+            e_rec = g_y[0]                          # (n_out_r,)
+
+            # cuRecurrent::Update — present-frame + BPTT corrections
+            d = e_rec * y * (1.0 - y)
+            corr_W = jnp.outer(new_hist[0], d)
+            new_bias_corr = sgd.momentum * bias_corr - lr_r * d
+            W_h = W[n_in_r:]
+            for i in range(1, K + 1):
+                e_part = d @ W_h.T
+                y_hist = new_hist[i - 1, n_in_r:]   # y_{t-i}
+                d = e_part * y_hist * (1.0 - y_hist)
+                corr_W = corr_W + jnp.outer(new_hist[i], d)
+                new_bias_corr = new_bias_corr - lr_r * d
+            new_W = W - lr_r * corr_W - lr_r * sgd.weightcost * W
+            new_b = b + new_bias_corr
+
+            # error into the below stack (BackpropagateFnc: W[:n_in] @ d0)
+            d0 = e_rec * y * (1.0 - y)
+            e_below = (d0 @ W[:n_in_r].T)[None, :]
+            (grads_b,) = vjp_b(e_below)
+
+            grads = (list(grads_b)
+                     + [{"weight": jnp.zeros_like(W),
+                         "bias": jnp.zeros_like(b)}]
+                     + list(grads_a))
+            new_params, new_velocity = apply_updates(
+                net, params, velocity, grads, sgd, 1, factors_no_r)
+            new_params[ridx] = {"weight": new_W, "bias": new_b}
+
+            # masked (padding) frame: keep everything unchanged
+            sel = lambda new, old: jax.tree_util.tree_map(
+                lambda a, o: jnp.where(m, a, o), new, old)
+            params = sel(new_params, params)
+            velocity = sel(new_velocity, velocity)
+            hist = jnp.where(m, new_hist, hist)
+            bias_corr = jnp.where(m, new_bias_corr, bias_corr)
+            stats = {k: jnp.where(m, v, jnp.zeros_like(v))
+                     for k, v in stats.items()}
+            acc = {k: acc[k] + stats[k] for k in acc}
+            return (params, velocity, hist, bias_corr, acc), None
+
+        def serial_utt(params, velocity, acc, feats, labels, mask):
+            hist = jnp.zeros((K + 1, n_in_r + n_out_r), jnp.float32)
+            bias_corr = jnp.zeros((n_out_r,), jnp.float32)
+            (params, velocity, _, _, acc), _ = jax.lax.scan(
+                frame_step, (params, velocity, hist, bias_corr, acc),
+                (feats, labels, mask))
+            return params, velocity, acc
+
+        self._serial_utt = jax.jit(serial_utt, donate_argnums=(0, 1, 2))
+
+    def train_utterance_serial(self, feats: np.ndarray,
+                               labels: np.ndarray) -> None:
+        """Frame-serial parity training of one utterance (padded to a
+        64-frame grid to bound recompilation across lengths)."""
+        T, D = feats.shape
+        Tp = -(-T // 64) * 64
+        F = np.zeros((Tp, D), np.float32)
+        L = np.zeros((Tp,), np.int32)
+        M = np.zeros((Tp,), bool)
+        F[:T], L[:T], M[:T] = feats, labels, True
+        acc = self._zero_acc()
+        self.params, self.velocity, acc = self._serial_utt(
+            self.params, self.velocity, acc,
+            jnp.asarray(F), jnp.asarray(L), jnp.asarray(M))
+        self.stats.add(float(acc["xent"]), int(acc["frames"]),
+                       int(acc["correct"]))
 
     def _zero_acc(self):
         return {"xent": jnp.zeros((), jnp.float32),

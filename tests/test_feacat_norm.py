@@ -42,6 +42,29 @@ def mlp_and_data(tmp_path_factory):
     return net, str(mmf), str(scp), tmp
 
 
+def test_tfeacat_bf16_close_to_f32(mlp_and_data):
+    """--BF16 posterior dumps stay within bf16 rounding of the f32 path."""
+    net, mmf, scp, tmp = mlp_and_data
+    from nnet_asr_tpu.tools import tfeacat
+    d32, d16 = tmp / "p32", tmp / "p16"
+    d32.mkdir(exist_ok=True)
+    d16.mkdir(exist_ok=True)
+    common = ["tfeacat", "-H", mmf, "-S", scp,
+              "--FEATURETRANSFORM=" + os.path.join(EXAMPLE01, "lib/Hamm_dct_norm"),
+              "--STARTFRMEXT=25", "--ENDFRMEXT=25", "-y", "post"]
+    tfeacat.main(common + ["-l", str(d32)])
+    tfeacat.main(common + ["-l", str(d16), "--BF16=TRUE"])
+    names = sorted(os.listdir(d32))
+    assert names and names == sorted(os.listdir(d16))
+    for name in names:
+        a, _ = htk.read_htk_file(str(d32 / name))
+        b, _ = htk.read_htk_file(str(d16 / name))
+        assert a.shape == b.shape
+        assert np.max(np.abs(a - b)) < 2e-2
+        # posteriors still normalized
+        np.testing.assert_allclose(b.sum(axis=1), 1.0, atol=1e-3)
+
+
 def test_tfeacat_matches_oracle(mlp_and_data):
     net, mmf, scp, tmp = mlp_and_data
     outdir = tmp / "post"

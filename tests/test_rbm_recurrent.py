@@ -146,6 +146,85 @@ def test_recurrent_trainer_learns():
     assert accs[-1] > accs[0] + 10.0, accs
 
 
+def _serial_oracle(net, utts, K, lr, momentum):
+    """NumPy re-derivation of the reference frame-serial trajectory
+    (TRecurrentCu.cc:357-371 + cuRecurrent.cc:86-153): per-frame updates,
+    BPTT-K history walk, weight correction without momentum but bias
+    correction carrying momentum across frames, mmt_gain on the linear
+    layer."""
+    W = np.asarray(net.params[0]["weight"], np.float64).copy()
+    b = np.asarray(net.params[0]["bias"], np.float64).copy()
+    W2 = np.asarray(net.params[1]["weight"], np.float64).copy()
+    b2 = np.asarray(net.params[1]["bias"], np.float64).copy()
+    vW2 = np.zeros_like(W2)
+    vb2 = np.zeros_like(b2)
+    din = net.specs[0].n_inputs
+    dout = W2.shape[1]
+    sig = lambda a: 1.0 / (1.0 + np.exp(-a))
+    mmt_gain = 1.0 / (1.0 - momentum) if momentum else 1.0
+    for x_utt, l_utt in utts:
+        hist = np.zeros((K + 1, W.shape[0]))
+        B = np.zeros_like(b)
+        for x, lbl in zip(x_utt, l_utt):
+            h_in = np.concatenate([x, hist[0, din:]])
+            hist = np.vstack([h_in[None], hist[:-1]])
+            y = sig(h_in @ W + b)
+            z = y @ W2 + b2
+            p = np.exp(z - z.max()); p /= p.sum()
+            e_out = p.copy(); e_out[lbl] -= 1.0       # err = y - t
+            # error to recurrent output with pre-update W2
+            e_y = e_out @ W2.T
+            # linear layer update (CuBiasedLinearity, n_frames=1,
+            # grad_div_frm False)
+            if momentum:
+                vW2 = np.outer(y, e_out) + momentum * vW2
+                vb2 = e_out + momentum * vb2
+                W2 = W2 - (lr / mmt_gain) * vW2
+                b2 = b2 - (lr / mmt_gain) * vb2
+            else:
+                W2 = W2 - lr * np.outer(y, e_out)
+                b2 = b2 - lr * e_out
+            # recurrent update
+            d = e_y * y * (1.0 - y)
+            corr = np.outer(hist[0], d)
+            B = momentum * B - lr * d
+            Wh = W[din:]
+            for i in range(1, K + 1):
+                e_part = d @ Wh.T
+                y_hist = hist[i - 1, din:]
+                d = e_part * y_hist * (1.0 - y_hist)
+                corr = corr + np.outer(hist[i], d)
+                B = B - lr * d
+            W = W - lr * corr
+            b = b + B
+    return W, b, W2, b2
+
+
+@pytest.mark.parametrize("momentum", [0.0, 0.3])
+def test_frame_serial_matches_reference_oracle(momentum):
+    rng = np.random.default_rng(6)
+    net = _recurrent_net(rng)
+    K, lr = 3, 0.2
+    cfg = RecurrentTrainerConfig(
+        bptt_order=K, frame_serial=True,
+        sgd=SgdConfig(learning_rate=lr, momentum=momentum,
+                      grad_div_frm=False))
+    tr = RecurrentTrainer(net, cfg)
+    utts = _toy_sequences(rng, n=2, T=40)
+    for x, l in utts:
+        tr.train_utterance_serial(x, l)
+    W, b, W2, b2 = _serial_oracle(net, utts, K, lr, momentum)
+    np.testing.assert_allclose(np.asarray(tr.params[0]["weight"]), W,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tr.params[0]["bias"]), b,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tr.params[1]["weight"]), W2,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tr.params[1]["bias"]), b2,
+                               rtol=2e-4, atol=2e-5)
+    assert tr.stats.frames == 80
+
+
 def test_recurrent_crossvalidate_no_update():
     rng = np.random.default_rng(5)
     net = _recurrent_net(rng)
