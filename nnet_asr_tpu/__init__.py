@@ -18,3 +18,29 @@ Layer map (TPU-native):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (measured 147s -> 3.3s for the
+    transform program on a remote-compile TPU tunnel). Opt out with
+    NNET_ASR_TPU_NO_COMPILE_CACHE=1; an explicit user setting
+    (JAX_COMPILATION_CACHE_DIR or jax.config) wins."""
+    import os
+
+    if os.environ.get("NNET_ASR_TPU_NO_COMPILE_CACHE"):
+        return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            path = os.path.join(
+                os.path.expanduser("~"), ".cache", "nnet_asr_tpu", "xla")
+            os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+    except Exception:
+        pass          # cache is an optimization; never block import
+
+
+_enable_compilation_cache()

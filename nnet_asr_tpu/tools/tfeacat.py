@@ -103,9 +103,10 @@ def main(argv=None) -> int:
         for e in batch:
             feats_list.append(reader.read(e.physical, e.logical))
             periods.append(reader.last_header.sample_period)
-        outs = pipe(feats_list)
-        for e, out_dev, period in zip(batch, outs, periods):
-            out = np.asarray(out_dev)
+        # one device-to-host fetch per batch (per-utterance fetches cost a
+        # tunnel round-trip each on remote backends)
+        outs = pipe.transform_to_host(feats_list)
+        for e, out, period in zip(batch, outs, periods):
             if gmm_bypass:
                 out = np.sqrt(np.maximum(-2.0 * np.log(out), 0.0))
             elif log_posterior:

@@ -65,6 +65,39 @@ class FrameCache:
         if fill < feats.shape[0]:
             self._leftover = (feats[fill:], labels[fill:])
 
+    def _stash_leftover(self, f, l) -> None:
+        if self._leftover is None:
+            self._leftover = (f, l)
+        else:
+            lf, ll = self._leftover
+            self._leftover = (jnp.concatenate([lf, f], axis=0),
+                              np.concatenate([ll, l]))
+
+    def _append_up_to_capacity(self, f, l) -> None:
+        space = self.cachesize - self._rows
+        if space <= 0:
+            self._stash_leftover(f, l)
+            return
+        fill = min(space, f.shape[0])
+        self._feats.append(f[:fill])
+        self._labels.append(l[:fill])
+        self._rows += fill
+        if fill < f.shape[0]:
+            self._stash_leftover(f[fill:], l[fill:])
+
+    def add_block(self, feats: jnp.ndarray, labels: np.ndarray) -> None:
+        """Add a multi-utterance row block (the batched intake path: one
+        device array per transform batch instead of per-utterance slices).
+        Fills to capacity and keeps the remainder as leftover; unlike
+        ``add``, no single-utterance truncation applies — a block is many
+        utterances."""
+        assert feats.shape[0] == labels.shape[0]
+        if self._rows == 0 and self._leftover is not None:
+            lf, ll = self._leftover
+            self._leftover = None
+            self._append_up_to_capacity(lf, ll)
+        self._append_up_to_capacity(feats, labels)
+
     @property
     def full(self) -> bool:
         return self._rows >= self.cachesize
@@ -78,10 +111,13 @@ class FrameCache:
         return self._leftover is not None
 
     def absorb_leftover(self) -> bool:
-        """Pull the carried-over segment remainder into the (empty) cache;
-        returns True if it alone fills the cache again (long utterances)."""
+        """Pull the carried-over remainder into the (empty) cache; returns
+        True if it alone fills the cache again (long utterances / large
+        blocks). Remainder beyond capacity stays as leftover."""
         if self._rows == 0 and self._leftover is not None:
-            self._take_leftover()
+            lf, ll = self._leftover
+            self._leftover = None
+            self._append_up_to_capacity(lf, ll)
         return self.full
 
     # -- exhaust ------------------------------------------------------------

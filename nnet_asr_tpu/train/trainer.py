@@ -258,17 +258,20 @@ class Trainer:
         def flush_pending():
             if not pend_feats:
                 return
+            # one device block per batch (transform_rows) instead of
+            # per-utterance slices: varying-length slices each compile a
+            # distinct XLA program — pathological on remote backends
             with profiler.phase("transform"):
-                outs = self.pipeline(pend_feats)
-            for f, l in zip(outs, pend_labels):
-                cache.add(f, l)
-                self.total_frames += l.shape[0]
-                if cache.full:
-                    self._drain_cache(cache)
-                # leftover seeds the next fill; drain again while the
-                # leftover alone fills the cache (very long utterances)
-                while cache.has_leftover and cache.absorb_leftover():
-                    self._drain_cache(cache)
+                rows, _ = self.pipeline.transform_rows(pend_feats)
+            labels_block = np.concatenate(pend_labels)
+            self.total_frames += labels_block.shape[0]
+            cache.add_block(rows, labels_block)
+            if cache.full:
+                self._drain_cache(cache)
+            # leftover seeds the next fill; drain again while the
+            # leftover alone fills the cache (long utterances / blocks)
+            while cache.has_leftover and cache.absorb_leftover():
+                self._drain_cache(cache)
             pend_feats.clear()
             pend_labels.clear()
 
