@@ -39,6 +39,12 @@ def _enable_compilation_cache():
                 os.path.expanduser("~"), ".cache", "nnet_asr_tpu", "xla")
             os.makedirs(path, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", path)
+            # persist even fast-compiling programs: on a remote-compile
+            # backend every miss costs a ~0.4s round-trip, and the tiny
+            # eager-op programs (slice/take/convert) all compile in <1s
+            # so the default threshold would never persist them
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass          # cache is an optimization; never block import
 

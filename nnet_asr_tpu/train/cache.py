@@ -146,7 +146,8 @@ class FrameCache:
 
     def take_stacked(self):
         """Randomize and return ((nb, bunch, D) feats, (nb, bunch) labels)
-        for a scan-based drain; resets the cache. None if < one bunch."""
+        for a scan-based drain; resets the cache. None if < one bunch.
+        (Shape-stable variant: DeviceFrameCache below.)"""
         if self._rows == 0:
             raise RuntimeError("take_stacked on empty cache")
         feats = self._feats[0] if len(self._feats) == 1 else jnp.concatenate(self._feats, axis=0)
@@ -165,3 +166,128 @@ class FrameCache:
         feats = feats[:nb * B].reshape(nb, B, feats.shape[1])
         labels = jnp.asarray(labels[:nb * B].reshape(nb, B))
         return feats, labels
+
+
+class DeviceFrameCache:
+    """Shape-stable device-resident cache: one fixed (cachesize + slack, D)
+    HBM buffer written with ``dynamic_update_slice`` (the write offset is
+    DATA, not shape — one compiled program serves every block), drained as
+    one fixed-shape permutation-gather + reshape.
+
+    Same row semantics as :class:`FrameCache`'s block path: blocks append
+    in arrival order, the cache drains at exact ``cachesize`` boundaries,
+    the overflow of the block that crossed the boundary carries into the
+    next fill, and the trailing sub-bunch remainder of a drain is discarded
+    (Cache.cc:239-244). The shuffle is the same bit-exact srand48 +
+    std::random_shuffle permutation, so given the same intake the bunch
+    sequence is identical to FrameCache's.
+
+    Why it exists: FrameCache concatenates variable-length device slices,
+    and every distinct composition is a fresh XLA program — pathological
+    on remote-compile backends (TNetCu's CuCache has the same fixed-buffer
+    design for the same reason: cuCache.cc preallocates cachesize_ rows).
+    """
+
+    def __init__(self, cachesize: int, bunchsize: int, seed: int = 0,
+                 randomize: bool = True):
+        if cachesize % bunchsize != 0:
+            raise ValueError(
+                f"Non divisible cachesize {cachesize} by bunchsize {bunchsize}")
+        self.cachesize = cachesize
+        self.bunchsize = bunchsize
+        self.randomize = randomize
+        if seed == 0:
+            seed = int(time.time())
+        self.rng = Rand48(seed)
+        self._buf: Optional[jnp.ndarray] = None     # (cachesize + slack, D)
+        self._labels = np.zeros((0,), np.int32)
+        self._rows = 0                              # valid rows in _buf
+        self.discarded = 0
+        self._write = jax.jit(
+            lambda buf, blk, off: jax.lax.dynamic_update_slice(
+                buf, blk, (off, 0)),
+            donate_argnums=(0,))
+        # roll the overflow tail [cachesize, cachesize+slack) to the front
+        self._roll = jax.jit(
+            lambda buf: buf.at[:buf.shape[0] - self.cachesize].set(
+                buf[self.cachesize:]),
+            donate_argnums=(0,))
+        B = bunchsize
+
+        def gather_stacked(buf, perm, n_rows):
+            # one program: (shuffle-)gather the cached rows + stack into
+            # (nb, bunch, D) bunches (n_rows static under trace)
+            nb = n_rows // B
+            rows = buf[:nb * B] if perm is None \
+                else jnp.take(buf, perm, axis=0)[:nb * B]
+            return rows.reshape(nb, B, buf.shape[1])
+
+        self._gather_stacked = jax.jit(gather_stacked,
+                                       static_argnames=("n_rows",))
+
+    def _ensure_buffer(self, block: jnp.ndarray) -> None:
+        slack = block.shape[0]
+        need = self.cachesize + slack
+        if self._buf is None:
+            self._buf = jnp.zeros((need, block.shape[1]), block.dtype)
+        elif self._buf.shape[0] < need:
+            # rare: a bigger block bucket appeared — grow (new program)
+            buf = jnp.zeros((need, block.shape[1]), block.dtype)
+            self._buf = jax.lax.dynamic_update_slice(buf, self._buf, (0, 0))
+
+    def add_block(self, block: jnp.ndarray, valid: int,
+                  labels: np.ndarray) -> None:
+        """Append ``block[:valid]`` (a bucket-padded device block from
+        ``TransformPipeline.transform_block``) + host int labels. Junk
+        padding rows beyond ``valid`` land past the fill point and are
+        overwritten by the next write (or ignored at drain)."""
+        assert labels.shape[0] == valid <= block.shape[0]
+        self._ensure_buffer(block)
+        if self._rows >= self.cachesize:
+            raise RuntimeError("AddData on full cache")
+        self._buf = self._write(self._buf, block, jnp.int32(self._rows))
+        self._rows += valid
+        self._labels = np.concatenate([self._labels, labels[:valid]])
+
+    @property
+    def full(self) -> bool:
+        return self._rows >= self.cachesize
+
+    @property
+    def rows(self) -> int:
+        return self._rows
+
+    def take_stacked(self):
+        """Shuffle + stack the cache into ((nb, bunch, D), (nb, bunch))
+        and carry the overflow tail to the front for the next fill.
+        Returns None if fewer than one bunch is cached."""
+        if self._rows == 0:
+            raise RuntimeError("take_stacked on empty cache")
+        n = min(self._rows, self.cachesize)
+        nb = n // self.bunchsize
+        B = self.bunchsize
+        labels, self._labels = self._labels[:n], self._labels[n:]
+        if self.randomize:
+            perm = self.rng.permutation(n)
+            labels = labels[perm]
+        else:
+            perm = None
+        feats = None
+        if nb > 0:
+            perm_dev = None if perm is None \
+                else jnp.asarray(perm.astype(np.int32))
+            feats = self._gather_stacked(self._buf, perm_dev, n_rows=n)
+            labels_dev = jnp.asarray(labels[:nb * B].reshape(nb, B))
+        self.discarded += n - nb * B
+        if self._rows > self.cachesize:
+            # the runtime sequences the donated-buffer roll after the
+            # pending gather that reads it — no host sync needed, and not
+            # syncing lets feature IO overlap the device drain
+            self._buf = self._roll(self._buf)
+            self._rows -= self.cachesize
+        else:
+            self._rows = 0
+            self._labels = np.zeros((0,), np.int32)
+        if nb == 0:
+            return None
+        return feats, labels_dev

@@ -24,7 +24,7 @@ from ..models.network import Network
 from ..ops.objectives import (MseStats, XentStats, mse_loss_and_stats,
                               softmax_identity_backward, xent_loss_and_stats)
 from ..utils.profiler import profiler
-from .cache import FrameCache
+from .cache import DeviceFrameCache
 from .pipeline import TransformPipeline
 from .sgd import SgdConfig, apply_updates, init_momentum, layer_lr_factors
 
@@ -73,6 +73,7 @@ class Trainer:
         self._build_steps()
         self.total_frames = 0
         self.wall = 0.0
+        self._accs = []
 
     # ------------------------------------------------------------------
     def _split_head(self):
@@ -227,12 +228,17 @@ class Trainer:
             self.stats.add(float(acc["mse"]), int(acc["frames"]))
 
     # ------------------------------------------------------------------
-    def _drain_cache(self, cache: FrameCache) -> None:
+    def _drain_cache(self, cache) -> None:
         with profiler.phase("cache-randomize"):
             stacked = cache.take_stacked()
         if stacked is None:
             return
         feats_all, labels_all = stacked
+        # per-cache stats stay on device until epoch end (fetching them
+        # per drain would force a host sync that stalls the async dispatch
+        # pipeline); they merge into the float64 host totals one cache at
+        # a time, preserving the reference's per-cache MergeStats
+        # precision (ObjFun.h:16-54)
         acc = self._zero_acc()
         with profiler.phase("train-step" if not self.cfg.crossvalidate
                             else "eval-step"):
@@ -241,7 +247,12 @@ class Trainer:
             else:
                 self.params, self.velocity, acc = self._drain_train(
                     self.params, self.velocity, acc, feats_all, labels_all)
-        self._merge_acc(acc)
+        self._accs.append(acc)
+
+    def _flush_acc(self) -> None:
+        for acc in self._accs:
+            self._merge_acc(acc)
+        self._accs = []
 
     def run_epoch(self, utterances: Iterable[Tuple[np.ndarray, np.ndarray]],
                   batch_utts: int = 32) -> None:
@@ -251,26 +262,25 @@ class Trainer:
         ``batch_utts`` utterances are transformed together per pipeline call.
         """
         t0 = time.time()
-        cache = FrameCache(self.cfg.cachesize, self.cfg.bunchsize,
-                           self.cfg.seed, self.cfg.randomize)
+        cache = DeviceFrameCache(self.cfg.cachesize, self.cfg.bunchsize,
+                                 self.cfg.seed, self.cfg.randomize)
         pend_feats, pend_labels = [], []
 
         def flush_pending():
             if not pend_feats:
                 return
-            # one device block per batch (transform_rows) instead of
-            # per-utterance slices: varying-length slices each compile a
-            # distinct XLA program — pathological on remote backends
+            # shape-stable intake: one bucket-padded device block per batch
+            # (transform_block) + fixed-buffer cache writes — the steady
+            # state reuses a handful of compiled programs no matter how
+            # utterance/batch lengths vary (each distinct shape is a fresh
+            # XLA compile, ~0.8s through a remote-compile tunnel)
             with profiler.phase("transform"):
-                rows, _ = self.pipeline.transform_rows(pend_feats)
+                rows, valid = self.pipeline.transform_block(pend_feats)
             labels_block = np.concatenate(pend_labels)
-            self.total_frames += labels_block.shape[0]
-            cache.add_block(rows, labels_block)
-            if cache.full:
-                self._drain_cache(cache)
-            # leftover seeds the next fill; drain again while the
-            # leftover alone fills the cache (long utterances / blocks)
-            while cache.has_leftover and cache.absorb_leftover():
+            assert labels_block.shape[0] == valid
+            self.total_frames += valid
+            cache.add_block(rows, valid, labels_block)
+            while cache.full:
                 self._drain_cache(cache)
             pend_feats.clear()
             pend_labels.clear()
@@ -284,6 +294,7 @@ class Trainer:
         # last (partial) cache
         if cache.rows > 0:
             self._drain_cache(cache)
+        self._flush_acc()
         self.wall += time.time() - t0
 
     # ------------------------------------------------------------------

@@ -206,3 +206,89 @@ def test_mse_objective():
     tr.run_epoch(iter(utts))
     assert tr.stats.frames == 32
     assert tr.report().startswith("Mse:")
+
+
+def test_device_cache_matches_framecache():
+    """DeviceFrameCache (fixed-buffer, shape-stable) must yield the exact
+    bunch sequence of FrameCache given the same block intake + seed —
+    including the boundary-crossing carry-over and tail discard."""
+    import jax.numpy as jnp
+    from nnet_asr_tpu.train.cache import DeviceFrameCache
+
+    rng = np.random.default_rng(3)
+    blocks = []  # (bucket-padded feats, valid, labels) like transform_block
+    lab_base = 0
+    for valid in (7, 13, 2, 29, 5, 11):
+        pad = -(-valid // 8) * 8           # tiny bucket quantum for the test
+        f = np.zeros((pad, 3), np.float32)
+        f[:valid] = rng.standard_normal((valid, 3)).astype(np.float32)
+        l = np.arange(lab_base, lab_base + valid, dtype=np.int32)
+        lab_base += valid
+        blocks.append((f, valid, l))
+
+    def run(cache_cls, block_api):
+        cache = cache_cls(cachesize=16, bunchsize=4, seed=99, randomize=True)
+        got = []
+
+        def drain():
+            stacked = cache.take_stacked()
+            if stacked is not None:
+                fa, la = stacked
+                got.append((np.asarray(fa), np.asarray(la)))
+
+        for f, valid, l in blocks:
+            if block_api:
+                cache.add_block(jnp.asarray(f), valid, l)
+            else:
+                cache.add_block(jnp.asarray(f[:valid]), l)
+            if block_api:
+                while cache.full:
+                    drain()
+            else:
+                if cache.full:
+                    drain()
+                while cache.has_leftover and cache.absorb_leftover():
+                    drain()
+        if cache.rows > 0:
+            drain()
+        return got
+
+    ref = run(FrameCache, block_api=False)
+    dev = run(DeviceFrameCache, block_api=True)
+    assert len(ref) == len(dev)
+    for (rf, rl), (df, dl) in zip(ref, dev):
+        np.testing.assert_array_equal(rl, dl)
+        np.testing.assert_array_equal(rf, df)
+
+
+def test_device_cache_norandomize_and_discard():
+    import jax.numpy as jnp
+    from nnet_asr_tpu.train.cache import DeviceFrameCache
+
+    cache = DeviceFrameCache(cachesize=8, bunchsize=4, seed=1, randomize=False)
+    f = np.arange(10, dtype=np.float32).reshape(10, 1)
+    pad = np.zeros((16, 1), np.float32)
+    pad[:10] = f
+    cache.add_block(jnp.asarray(pad), 10, np.arange(10, dtype=np.int32))
+    assert cache.full
+    fa, la = cache.take_stacked()
+    np.testing.assert_array_equal(
+        np.asarray(fa).ravel(), np.arange(8, dtype=np.float32))
+    assert cache.rows == 2
+    # final partial: 2 rows < bunchsize -> discarded
+    assert cache.take_stacked() is None
+    assert cache.discarded == 2
+    assert cache.rows == 0
+
+
+def test_transform_block_matches_call(example01):
+    net = Network.read(str(example01 / "lib" / "Hamm_dct_norm"))
+    rng = np.random.default_rng(1)
+    utts = [rng.standard_normal((T + 50, 23)).astype(np.float32)
+            for T in (64, 130, 37)]
+    pipe = TransformPipeline(net, 25, 25, chunk=128)
+    rows, valid = pipe.transform_block(utts)
+    assert valid == 64 + 130 + 37
+    want = np.concatenate([np.asarray(net.forward(u))[25:-25] for u in utts])
+    np.testing.assert_allclose(np.asarray(rows)[:valid], want,
+                               rtol=2e-5, atol=2e-5)
