@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.network import Network
 from ..ops.objectives import XentStats
-from ..train.cache import FrameCache
+from ..train.cache import DeviceFrameCache
 from ..train.pipeline import TransformPipeline
 from ..train.trainer import TrainerConfig
 from .sharded_step import make_sharded_train_step, zero_acc
@@ -46,6 +46,7 @@ class ShardedTrainer:
         self._label_sharding = NamedSharding(mesh, P("data"))
         self.total_frames = 0
         self.wall = 0.0
+        self._accs = []
         d = mesh.shape["data"]
         if cfg.bunchsize % d:
             raise ValueError(
@@ -69,7 +70,7 @@ class ShardedTrainer:
             l = jax.device_put(jnp.asarray(labels), self._label_sharding)
         return f, l
 
-    def _drain_cache(self, cache: FrameCache) -> None:
+    def _drain_cache(self, cache: DeviceFrameCache) -> None:
         stacked = cache.take_stacked()
         if stacked is None:
             return
@@ -87,27 +88,35 @@ class ShardedTrainer:
             self.state.params, self.state.velocity, acc = \
                 self._fns["drain_train"](self.state.params,
                                          self.state.velocity, acc, fsh, lsh)
-        self.stats.add(float(acc["xent"]), int(acc["frames"]),
-                       int(acc["correct"]))
+        # per-cache stats stay on device until epoch end (no mid-epoch
+        # host sync); merged per cache in f64, like train.Trainer
+        self._accs.append(acc)
+
+    def _flush_acc(self) -> None:
+        for acc in self._accs:
+            self.stats.add(float(acc["xent"]), int(acc["frames"]),
+                           int(acc["correct"]))
+        self._accs = []
 
     def run_epoch(self, utterances: Iterable[Tuple[np.ndarray, np.ndarray]],
                   batch_utts: int = 32) -> None:
         import time
 
         t0 = time.time()
-        cache = FrameCache(self.cfg.cachesize, self.cfg.bunchsize,
-                           self.cfg.seed, self.cfg.randomize)
+        cache = DeviceFrameCache(self.cfg.cachesize, self.cfg.bunchsize,
+                                 self.cfg.seed, self.cfg.randomize)
         pend_f, pend_l = [], []
 
         def flush():
             if not pend_f:
                 return
-            outs = self.pipeline(pend_f)
-            for f, l in zip(outs, pend_l):
-                cache.add(f, l)
-                self.total_frames += l.shape[0]
-                if cache.full:
-                    self._drain_cache(cache)
+            # shape-stable intake (see train.Trainer.run_epoch)
+            rows, valid = self.pipeline.transform_block(pend_f)
+            labels_block = np.concatenate(pend_l)
+            self.total_frames += valid
+            cache.add_block(rows, valid, labels_block)
+            while cache.full:
+                self._drain_cache(cache)
             pend_f.clear()
             pend_l.clear()
 
@@ -119,6 +128,7 @@ class ShardedTrainer:
         flush()
         if cache.rows > 0:
             self._drain_cache(cache)
+        self._flush_acc()
         self.wall += time.time() - t0
 
     def updated_network(self) -> Network:

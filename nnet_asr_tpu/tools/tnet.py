@@ -87,6 +87,11 @@ def main(argv=None) -> int:
         print()
     if ui.get_bool("PRINTVERSION", False):
         print(f"\n======= TNET v{__version__} (nnet_asr_tpu) =======\n")
+    # read every accepted param BEFORE the unused-param check
+    mesh_spec = ui.get_str("MESH")   # e.g. --MESH=4x2 → data=4, model=2
+    p_resume = ui.get_str("RESUMESTATE")
+    p_save = ui.get_str("SAVESTATE")
+    p_jaxprofile = ui.get_str("JAXPROFILE")
     ui.check_command_line_param_use()
 
     if p_script is None:
@@ -106,8 +111,6 @@ def main(argv=None) -> int:
     labels_repo = LabelRepository(p_mlf, p_label_map, p_lbl_dir, p_lbl_ext)
     transform = Network.read(p_transform) if p_transform else None
     net = Network.read(p_source_mmf)
-
-    mesh_spec = ui.get_str("MESH")   # e.g. --MESH=4x2 → data=4, model=2
 
     cfg = TrainerConfig(
         bunchsize=bunchsize, cachesize=cachesize, seed=seed,
@@ -170,9 +173,6 @@ def main(argv=None) -> int:
     from ..utils.profiler import enable_from_trace, profiler
 
     enable_from_trace(trace)
-    p_resume = ui.get_str("RESUMESTATE")
-    p_save = ui.get_str("SAVESTATE")
-    p_jaxprofile = ui.get_str("JAXPROFILE")
     if p_resume and hasattr(trainer, "load_state"):
         trainer.load_state(p_resume)
     if p_jaxprofile:
