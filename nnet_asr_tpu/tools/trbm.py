@@ -80,15 +80,17 @@ def main(argv=None) -> int:
           f"weightcost: {weightcost:g}")
     t0 = time.time()
 
-    def utterance_iter():
-        for e in entries:
-            feats = reader.read(e.physical, e.logical)
-            out = pipe([feats])[0]
-            if trace & 2:
-                print(".", end="", flush=True)
-            yield out
-
-    trainer.run_epoch(utterance_iter())
+    # shape-stable intake: batches of utterances transform as ONE
+    # bucket-padded device block (see train.pipeline.transform_block)
+    BATCH = 32
+    for lo in range(0, len(entries), BATCH):
+        pend = [reader.read(e.physical, e.logical)
+                for e in entries[lo:lo + BATCH]]
+        rows, valid = pipe.transform_block(pend)
+        trainer.ingest_block(rows, valid)
+        if trace & 2:
+            print("." * len(pend), end="", flush=True)
+    trainer.finish_epoch()
 
     net.params[0] = {k: np.asarray(v) for k, v in trainer.params.items()}
     net.write(p_targetmmf)

@@ -103,42 +103,94 @@ def make_cd1_step(spec: Rbm, cfg: RbmTrainConfig):
 
 
 class RbmTrainer:
-    """Epoch driver: cache of transformed frames → CD-1 bunches."""
+    """Epoch driver: cache of transformed frames → CD-1 bunches.
+
+    Shape-stable like train.Trainer: frames arrive in bucket-padded
+    blocks (``ingest_block``) into a fixed-buffer DeviceFrameCache, and
+    each cache drains as ONE scanned XLA program (the PRNG key rides in
+    the scan carry with the same per-bunch split order as the old host
+    loop, so the sampled trajectories are unchanged)."""
 
     def __init__(self, spec: Rbm, params: dict, cfg: RbmTrainConfig,
                  bunchsize: int = 256, cachesize: int = 12800,
                  seed: int = 0, randomize: bool = True):
-        from .cache import FrameCache
+        from .cache import DeviceFrameCache
 
         self.spec = spec
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.cfg = cfg
         self.state = init_rbm_state(spec, self.params, cfg)
         self.step = make_cd1_step(spec, cfg)
-        self.cache = FrameCache(cachesize, bunchsize, seed, randomize)
+        self.cache = DeviceFrameCache(cachesize, bunchsize, seed, randomize)
         self.key = jax.random.PRNGKey(seed if seed else 12345)
         self.mse_sum = 0.0
         self.frames = 0
+        self._mses = []          # per-cache device sums, fetched at the end
+        step = self.step
+
+        def drain(params, state, key, feats_all):
+            def body(carry, feats):
+                p, s, k = carry
+                k, sub = jax.random.split(k)
+                p, s, mse = step(p, s, sub, feats)
+                return (p, s, k), mse
+            (params, state, key), mses = jax.lax.scan(
+                body, (params, state, key), feats_all)
+            return params, state, key, jnp.sum(mses)
+
+        self._drain_scan = jax.jit(drain, donate_argnums=(0, 1, 2))
 
     def _drain(self):
-        for feats, _labels in self.cache.bunches():
-            self.key, sub = jax.random.split(self.key)
-            self.params, self.state, mse = self.step(
-                self.params, self.state, sub, feats)
-            self.mse_sum += float(mse)
-            self.frames += feats.shape[0]
+        stacked = self.cache.take_stacked()
+        if stacked is None:
+            return
+        feats_all, _labels = stacked
+        self.params, self.state, self.key, mse = self._drain_scan(
+            self.params, self.state, self.key, feats_all)
+        self._mses.append(mse)
+        self.frames += feats_all.shape[0] * feats_all.shape[1]
 
-    def run_epoch(self, utterances) -> None:
+    def ingest_block(self, rows: jnp.ndarray, valid: int) -> None:
+        """Feed a bucket-padded device block (rows[:valid] are real), e.g.
+        from TransformPipeline.transform_block."""
         import numpy as np
 
-        for feats in utterances:
-            n = feats.shape[0]
-            self.cache.add(jnp.asarray(feats),
-                           np.zeros(n, dtype=np.int32))
-            if self.cache.full:
-                self._drain()
+        self.cache.add_block(rows, valid, np.zeros(valid, np.int32))
+        while self.cache.full:
+            self._drain()
+
+    def finish_epoch(self) -> None:
         if self.cache.rows > 0:
             self._drain()
+        for m in self._mses:
+            self.mse_sum += float(m)
+        self._mses = []
+
+    def run_epoch(self, utterances, batch_utts: int = 32) -> None:
+        import numpy as np
+
+        from .pipeline import _bucket
+
+        pend = []
+
+        def flush():
+            if not pend:
+                return
+            valid = sum(f.shape[0] for f in pend)
+            block = np.zeros((_bucket(valid), pend[0].shape[1]), np.float32)
+            off = 0
+            for f in pend:
+                block[off:off + f.shape[0]] = f
+                off += f.shape[0]
+            self.ingest_block(jnp.asarray(block), valid)
+            pend.clear()
+
+        for feats in utterances:
+            pend.append(np.asarray(feats, np.float32))
+            if len(pend) >= batch_utts:
+                flush()
+        flush()
+        self.finish_epoch()
 
     def report(self) -> str:
         return (f"Mse:{self.mse_sum:.10g} frames:{self.frames}"

@@ -49,11 +49,29 @@ class RecurrentTrainer:
         self.params = [dict(p) for p in net.params]
         self.velocity = init_momentum(net, cfg.sgd.momentum)
         self.factors = tuple(layer_lr_factors(net, cfg.sgd))
-        self.stats = XentStats()
+        self._stats = XentStats()
         self.rec_idx = [i for i, s in enumerate(net.specs)
                         if isinstance(s, Recurrent)]
         self._utt_fns = {}
+        self._accs = []          # per-batch device stats, merged lazily
         self._build()
+
+    def _flush_acc(self):
+        for acc in self._accs:
+            self._stats.add(float(acc["xent"]), int(acc["frames"]),
+                            int(acc["correct"]))
+        self._accs = []
+
+    @property
+    def stats(self):
+        """Merged epoch statistics (flushes device-pending accumulators
+        on access; per-batch fetches would stall the dispatch pipeline)."""
+        self._flush_acc()
+        return self._stats
+
+    @stats.setter
+    def stats(self, value):
+        self._stats = value
 
     def _forward_seg(self, params, x_seg, h_list):
         """Forward a (B, K, D) segment batch; recurrent layers scan time
@@ -127,9 +145,17 @@ class RecurrentTrainer:
                     (_, (stats, h_new)), grads = jax.value_and_grad(
                         seg_loss, has_aux=True)(params, x_seg, l_seg,
                                                 m_seg, h_list)
-                    params, velocity = apply_updates(
+                    # all-masked padding segments (bucketed n_seg) must be
+                    # exact no-ops: momentum/L2 would otherwise coast on
+                    # zero grads and drift the params
+                    new_p, new_v = apply_updates(
                         net, params, velocity, grads, cfg.sgd,
                         jnp.maximum(stats["frames"], 1), factors)
+                    live = stats["frames"] > 0
+                    params = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(live, a, b), new_p, params)
+                    velocity = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(live, a, b), new_v, velocity)
                 acc = {k: acc[k] + stats[k] for k in acc}
                 return (params, velocity, acc, h_new), None
 
@@ -274,8 +300,7 @@ class RecurrentTrainer:
         self.params, self.velocity, acc = self._serial_utt(
             self.params, self.velocity, acc,
             jnp.asarray(F), jnp.asarray(L), jnp.asarray(M))
-        self.stats.add(float(acc["xent"]), int(acc["frames"]),
-                       int(acc["correct"]))
+        self._accs.append(acc)
 
     def _zero_acc(self):
         return {"xent": jnp.zeros((), jnp.float32),
@@ -297,7 +322,10 @@ class RecurrentTrainer:
         B = len(feats_list)
         D = feats_list[0].shape[1]
         T_max = max(f.shape[0] for f in feats_list)
-        n_seg = -(-T_max // K)
+        # n_seg bucketed to multiples of 16: every distinct scan length is
+        # a distinct XLA program (expensive on remote-compile backends);
+        # the all-masked padding segments are exact no-ops (see utt_step)
+        n_seg = -(-(-(-T_max // K)) // 16) * 16
         F = np.zeros((B, n_seg * K, D), np.float32)
         L = np.zeros((B, n_seg * K), np.int32)
         M = np.zeros((B, n_seg * K), bool)
@@ -314,8 +342,7 @@ class RecurrentTrainer:
         self.params, self.velocity, acc = self._utt_step(
             self.params, self.velocity, acc,
             jnp.asarray(F), jnp.asarray(L), jnp.asarray(M))
-        self.stats.add(float(acc["xent"]), int(acc["frames"]),
-                       int(acc["correct"]))
+        self._accs.append(acc)
 
     def run_epoch(self, utterances, batch_utts: int = 1) -> None:
         pend_f, pend_l = [], []
@@ -327,6 +354,7 @@ class RecurrentTrainer:
                 pend_f, pend_l = [], []
         if pend_f:
             self.train_batch(pend_f, pend_l)
+        self._flush_acc()
 
     def updated_network(self) -> Network:
         host = [{k: np.asarray(v) for k, v in p.items()} for p in self.params]
