@@ -129,17 +129,22 @@ def main(argv=None) -> int:
             x = spec.apply(p, x)
         return x        # logits (pre-softmax)
 
-    forward_j = jax.jit(forward)
+    def forward_logpost(params, x):
+        return jax.nn.log_softmax(forward(params, x), axis=-1)
 
-    def update(params, velocity, feats, err):
+    forward_j = jax.jit(forward_logpost)
+
+    def update(params, velocity, feats, err, n_frames):
         # backprop the externally-computed error through the logits
-        # (softmax backward = identity, as the reference does)
+        # (softmax backward = identity, as the reference does); rows
+        # beyond the utterance are zero in ``err`` so T can ride
+        # bucket-padded (n_frames carries the true count for GRADDIVFRM)
         def surrogate(params):
             logits = forward(params, feats)
             return jnp.sum(logits * err)
         grads = jax.grad(surrogate)(params)
         return apply_updates(net, params, velocity, grads, sgd_cfg,
-                             feats.shape[0], factors)
+                             n_frames, factors)
 
     update_j = jax.jit(update, donate_argnums=(0, 1))
 
@@ -151,10 +156,10 @@ def main(argv=None) -> int:
     t_decode = 0.0
     for e in entries:
         feats_ext = reader.read(e.physical, e.logical)
-        feats = pipe([feats_ext])[0]
-        logits = forward_j(params, feats)
-        log_post = np.asarray(jax.nn.log_softmax(logits, axis=-1))
-        T = log_post.shape[0]
+        # bucket-padded transform + forward: one compiled program per
+        # shape bucket instead of per distinct utterance length
+        feats, T = pipe.transform_block([feats_ext])
+        log_post = np.asarray(forward_j(params, feats))[:T]
 
         labs = labels_repo.get_frame_labels(
             T, reader.last_header.sample_period, e.logical)
@@ -207,8 +212,10 @@ def main(argv=None) -> int:
             num = np.zeros_like(gammas)
             num[np.arange(T), labs] = 1.0
             gammas = num - gammas
-        err = jnp.asarray(-outprb_scale * gammas)
-        params, velocity = update_j(params, velocity, feats, err)
+        err_pad = np.zeros((feats.shape[0], gammas.shape[1]), np.float32)
+        err_pad[:T] = -outprb_scale * gammas
+        params, velocity = update_j(params, velocity, feats,
+                                    jnp.asarray(err_pad), jnp.float32(T))
         frames += T
         acc_sum += avg_acc
         n_utts += 1
