@@ -82,6 +82,11 @@ def main(argv=None) -> int:
     # but whose source is absent from the fork (src/Makefile:46).
     mmi = ui.get_bool("MMI", False)
     show_gamma = ui.get_bool("SHOWGAMMA", False)
+    # within-arc forward-backward engine: 'jax' batches the recursions on
+    # the accelerator next to the NN forward pass (ops/mpe_device.py,
+    # parity-tested vs the numpy engine); 'auto' picks jax whenever a
+    # non-CPU backend is active
+    mpe_engine = ui.get_enum("MPEENGINE", "auto", ["auto", "jax", "numpy"])
     trace = ui.get_int("TRACE", 0)
     if ui.get_bool("PRINTCONFIG", False):
         ui.print_config()
@@ -107,9 +112,12 @@ def main(argv=None) -> int:
         label_names[idx] = tag
 
     hmms = parse_mmf(p_hmm)
+    if mpe_engine == "auto":
+        mpe_engine = "jax" if jax.default_backend() != "cpu" else "numpy"
     mpe = MpeComputer(hmms, labels_repo.label_map,
                       MpeConfig(lm_scale=lm_scale, outprb_scale=outprb_scale,
-                                ml_gamma=ml_gamma or mmi))
+                                ml_gamma=ml_gamma or mmi),
+                      engine=mpe_engine)
     lattices = LatticeArchive(p_lat_dir, p_lat_ext)
 
     entries = read_scp(p_script) if p_script else []

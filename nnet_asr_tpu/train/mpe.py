@@ -224,14 +224,17 @@ class MpeComputer:
         self.hmms = hmms
         self.label_map = label_map
         self.cfg = cfg
-        if engine == "jax":
-            from ..ops.mpe_device import (arc_forward_backward_batch_jax,
-                                          arc_forward_batch_jax)
-            self._arc_fb_batch = arc_forward_backward_batch_jax
-            self._arc_fwd_batch = arc_forward_batch_jax
-        else:
-            self._arc_fb_batch = arc_forward_backward_batch
-            self._arc_fwd_batch = arc_forward_batch
+        self._padded = engine == "jax"
+        if self._padded:
+            # bucket-padded masked kernels: ONE device call per utterance
+            # and a bounded program count (exact shapes would compile one
+            # XLA program per distinct (n_arcs, length) — hundreds per
+            # corpus, ruinous on remote-compile backends)
+            from ..ops.mpe_device import arc_fb_padded_jax, arc_fwd_padded_jax
+            self._arc_fb_padded = arc_fb_padded_jax
+            self._arc_fwd_padded = arc_fwd_padded_jax
+        self._arc_fb_batch = arc_forward_backward_batch
+        self._arc_fwd_batch = arc_forward_batch
         self._senone_cache = {
             name: h.senone_ids(label_map) for name, h in hmms.items()}
         with np.errstate(divide="ignore"):
@@ -274,10 +277,36 @@ class MpeComputer:
             lt[j] = self._log_tp[a.phone]
         return obs, lt
 
+    def _obs_lt_lists(self, arcs, idxs, log_post):
+        obs_list, lt_list = [], []
+        for i in idxs:
+            a = arcs[i]
+            obs_list.append(
+                self.cfg.outprb_scale * log_post[a.t0:a.t1][:, a.senones])
+            lt_list.append(self._log_tp[a.phone])
+        return obs_list, lt_list
+
+    def _group_by_states(self, arcs, idxs):
+        groups: Dict[int, List[int]] = {}
+        for i in idxs:
+            groups.setdefault(len(arcs[i].senones), []).append(i)
+        return groups
+
     def _prepare_arcs(self, lat: Lattice, log_post: np.ndarray) -> List[ArcInfo]:
         """Full pass: arc scores AND occupancies (no-pruning fast path —
-        one batched FB per (length, n_states) bucket)."""
+        one batched FB per (length, n_states) bucket; padded engine: one
+        masked call per n_states group)."""
         arcs, buckets = self._build_arcs(lat, log_post)
+        if self._padded:
+            all_idxs = [i for idxs in buckets.values() for i in idxs]
+            for _, idxs in self._group_by_states(arcs, all_idxs).items():
+                obs_l, lt_l = self._obs_lt_lists(arcs, idxs, log_post)
+                lls, occs = self._arc_fb_padded(obs_l, lt_l)
+                for j, i in enumerate(idxs):
+                    arcs[i].log_like = lls[j]
+                    arcs[i].occupancy = occs[j]
+                    arcs[i].score += lls[j]
+            return arcs, buckets
         for (L, S), idxs in buckets.items():
             obs, lt = self._bucket_inputs(arcs, idxs, L, S, log_post)
             lls, occs = self._arc_fb_batch(obs, lt)
@@ -292,6 +321,15 @@ class MpeComputer:
         when a lattice beam is active so occupancies are computed only for
         surviving arcs."""
         arcs, buckets = self._build_arcs(lat, log_post)
+        if self._padded:
+            all_idxs = [i for idxs in buckets.values() for i in idxs]
+            for _, idxs in self._group_by_states(arcs, all_idxs).items():
+                obs_l, lt_l = self._obs_lt_lists(arcs, idxs, log_post)
+                lls = self._arc_fwd_padded(obs_l, lt_l)
+                for j, i in enumerate(idxs):
+                    arcs[i].log_like = lls[j]
+                    arcs[i].score += lls[j]
+            return arcs, buckets
         for (L, S), idxs in buckets.items():
             obs, lt = self._bucket_inputs(arcs, idxs, L, S, log_post)
             lls = self._arc_fwd_batch(obs, lt)
@@ -302,6 +340,15 @@ class MpeComputer:
 
     def _fill_occupancies(self, arcs, idxs, log_post):
         """Occupancy FB for the given (surviving) arc indices."""
+        if self._padded:
+            if not idxs:
+                return
+            for _, ids in self._group_by_states(arcs, idxs).items():
+                obs_l, lt_l = self._obs_lt_lists(arcs, ids, log_post)
+                _, occs = self._arc_fb_padded(obs_l, lt_l)
+                for j, i in enumerate(ids):
+                    arcs[i].occupancy = occs[j]
+            return
         buckets: Dict[Tuple[int, int], List[int]] = {}
         for i in idxs:
             a = arcs[i]
