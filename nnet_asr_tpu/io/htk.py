@@ -126,6 +126,55 @@ def _read_header(f, big_endian: bool = True) -> HtkHeader:
     return HtkHeader(n, per, sz, kind)
 
 
+def stk_open(path: str, mode: str = "rb"):
+    """Open a file OR a shell pipe, StkStream-style (StkStream.tcc:128-150):
+    a leading ``|`` runs the rest as a shell command and streams its stdout
+    (read modes) / stdin (write modes); ``-`` is stdio. Returns a file-like
+    object whose ``close()`` also reaps the subprocess."""
+    import io as _io
+    import subprocess
+    import sys as _sys
+
+    text = "b" not in mode
+    if path == "-":
+        if "r" in mode:
+            return _sys.stdin if text else _sys.stdin.buffer
+        return _sys.stdout if text else _sys.stdout.buffer
+    if path.startswith("|"):
+        cmd = path[1:].strip()
+        if "r" in mode:
+            proc = subprocess.Popen(cmd, shell=True, stdout=subprocess.PIPE)
+            stream = proc.stdout
+        else:
+            proc = subprocess.Popen(cmd, shell=True, stdin=subprocess.PIPE)
+            stream = proc.stdin
+        if text:
+            stream = _io.TextIOWrapper(stream)
+
+        class _PipeStream:
+            def __init__(self, f, p):
+                self._f, self._p = f, p
+
+            def __getattr__(self, name):
+                return getattr(self._f, name)
+
+            def __iter__(self):
+                return iter(self._f)
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                self.close()
+
+            def close(self):
+                self._f.close()
+                self._p.wait()
+
+        return _PipeStream(stream, proc)
+    return open(path, mode)
+
+
 def read_htk_file(path: str, big_endian: bool = True):
     """Read a whole HTK feature file.
 
@@ -133,7 +182,7 @@ def read_htk_file(path: str, big_endian: bool = True):
     compression already undone and the header reflects the decompressed view
     (C bit cleared, n_samples corrected for the A/B rows).
     """
-    with open(path, "rb") as f:
+    with stk_open(path, "rb") as f:
         hdr = _read_header(f, big_endian)
         bo = ">" if big_endian else "<"
         if hdr.sample_kind & PARMKIND_C:

@@ -26,7 +26,17 @@ class MlfReader:
 
         self.path = path
         self._lock = threading.Lock()   # seek+read must be atomic
-        self._f = open(path, "rb")
+        if path.startswith("|") or path == "-":
+            # shell-pipe MLF (StkStream semantics): pipes can't seek, so
+            # buffer the stream in memory and index that
+            import io as _io
+
+            from .htk import stk_open
+
+            with stk_open(path, "rb") as src:
+                self._f = _io.BytesIO(src.read())
+        else:
+            self._f = open(path, "rb")
         first = self._f.readline().decode("utf-8", "replace").strip()
         if first != "#!MLF!#":
             raise ValueError(f"Not an MLF file (missing #!MLF!#): {path}")

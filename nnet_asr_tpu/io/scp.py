@@ -33,8 +33,10 @@ def parse_scp_entry(line: str) -> ScpEntry:
 
 
 def read_scp(path: str) -> List[ScpEntry]:
+    from .htk import stk_open
+
     entries = []
-    with open(path) as f:
+    with stk_open(path, "r") as f:
         for line in f:
             line = line.strip()
             if not line:

@@ -209,3 +209,36 @@ def test_gzip_ascii_features(tmp_path):
     assert y.shape == (16, 5)
     np.testing.assert_allclose(y[2:-2], x, rtol=1e-6)
     np.testing.assert_allclose(y[0], x[0], rtol=1e-6)
+
+
+def test_stk_open_pipe_streams(tmp_path, example01):
+    """StkStream pipe semantics (StkStream.tcc:128-150): a leading '|'
+    runs a shell command; works for SCP lists, MLFs, and feature files."""
+    from nnet_asr_tpu.io.htk import FeatureReader, stk_open
+    from nnet_asr_tpu.io.mlf import MlfReader
+    from nnet_asr_tpu.io.scp import read_scp
+
+    scp = example01 / "lib" / "test.scp"
+    direct = read_scp(str(scp))
+    piped = read_scp(f"| cat {scp}")
+    assert [e.physical for e in piped] == [e.physical for e in direct]
+
+    mlf = example01 / "lib" / "test_3s.mlf"
+    m1 = MlfReader(str(mlf))
+    m2 = MlfReader(f"| cat {mlf}")
+    name = next(iter(m1._index))
+    assert m1.read_block(name) == m2.read_block(name)
+
+    # feature file through a pipe == direct read
+    import numpy as np
+    rd = FeatureReader()
+    fea = example01 / direct[0].physical
+    a = rd.read(str(fea))
+    b = rd.read(f"| cat {fea}")
+    np.testing.assert_array_equal(a, b)
+
+    # write mode: stream through a pipe into a file
+    out = tmp_path / "piped.txt"
+    with stk_open(f"| cat > {out}", "w") as f:
+        f.write("hello\n")
+    assert out.read_text() == "hello\n"
