@@ -3,6 +3,8 @@
 # seeded init -> 1 training epoch -> crossvalidation -> (optional) decode.
 # Mirrors run_test.{CPU,GPU}.sh (same data, options, and seed conventions).
 set -e
+REPO="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 EX=/root/reference/examples/01test_MLP3_compare_multithread_cuda_decode_phn
 W=${1:-/tmp/nnet_asr_tpu_example01}
 mkdir -p $W

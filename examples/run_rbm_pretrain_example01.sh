@@ -6,6 +6,8 @@
 #
 # Usage: run_rbm_pretrain_example01.sh [workdir] [hid_dim] [rbm_iters] [ce_iters]
 set -e
+REPO="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 W=${1:-/tmp/rbm_ex01}
 HID=${2:-512}
 RBM_ITERS=${3:-3}

@@ -35,7 +35,10 @@ if [ ! -f $WORK/init.mmf ]; then
     --dim=598:1024:135 --gauss --negbias --seed=317 > $WORK/init.mmf
 fi
 
-COMMON="-I lib/test_3s.mlf -L */ -X lab -S lib/test.scp \
+# NOTE: the label dir mask rides literally quoted ('*/') so the shell
+# can't glob-expand it against the cwd; UserInterface strips the quotes
+# (ParseHTKString semantics), in the reference binary and here alike
+COMMON="-I lib/test_3s.mlf -L '*/' -X lab -S lib/test.scp \
  -m lib/mono_state_phn_set_135_phn -n 0.008 \
  --BUNCHSIZE=960 --CACHESIZE=14400 --RANDOMIZE=TRUE --SEED=123 \
  --FEATURETRANSFORM=lib/Hamm_dct_norm --STARTFRMEXT=25 --ENDFRMEXT=25"
