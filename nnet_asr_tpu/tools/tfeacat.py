@@ -61,9 +61,10 @@ def main(argv=None) -> int:
     p_ext = ui.get_str("TARGETPARAMEXT")
     gmm_bypass = ui.get_bool("GMMBYPASS", False)
     log_posterior = ui.get_bool("LOGPOSTERIOR", False)
-    # bf16 matmuls for the forward pass (posterior dumps don't need f32
-    # weights) — beyond-reference inference throughput mode
+    # bf16/int8 matmuls for the forward pass (posterior dumps don't need
+    # f32 weights) — beyond-reference inference throughput modes
     bf16 = ui.get_bool("BF16", False)
+    int8 = ui.get_bool("INT8", False)
     trace = ui.get_int("TRACE", 0)
 
     if ui.get_bool("PRINTVERSION", False):
@@ -88,9 +89,9 @@ def main(argv=None) -> int:
         raise SystemExit("No input features specified, try [-S SCP] or "
                          "positional argument")
 
-    pipe = TransformPipeline(combined, feaparams["start_frm_ext"],
-                             feaparams["end_frm_ext"],
-                             compute_dtype="bf16" if bf16 else None)
+    pipe = TransformPipeline(
+        combined, feaparams["start_frm_ext"], feaparams["end_frm_ext"],
+        compute_dtype="int8" if int8 else ("bf16" if bf16 else None))
 
     t0 = time.time()
     frames = 0

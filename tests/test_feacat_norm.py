@@ -166,3 +166,26 @@ def test_newbob_schedule(tmp_path):
     assert st.accu_best == 12.35
     assert "_cv12.35" in best
     assert os.path.exists(best)
+
+
+def test_tfeacat_int8_close_to_f32(mlp_and_data):
+    """--INT8 posterior dumps stay close to f32 (per-channel weight quant
+    + dynamic activation quant, int8 MXU path)."""
+    net, mmf, scp, tmp = mlp_and_data
+    from nnet_asr_tpu.tools import tfeacat
+    d32, d8 = tmp / "q32", tmp / "q8"
+    d32.mkdir(exist_ok=True)
+    d8.mkdir(exist_ok=True)
+    common = ["tfeacat", "-H", mmf, "-S", scp,
+              "--FEATURETRANSFORM=" + os.path.join(EXAMPLE01, "lib/Hamm_dct_norm"),
+              "--STARTFRMEXT=25", "--ENDFRMEXT=25", "-y", "post"]
+    tfeacat.main(common + ["-l", str(d32)])
+    tfeacat.main(common + ["-l", str(d8), "--INT8=TRUE"])
+    names = sorted(os.listdir(d32))
+    assert names and names == sorted(os.listdir(d8))
+    for name in names:
+        a, _ = htk.read_htk_file(str(d32 / name))
+        b, _ = htk.read_htk_file(str(d8 / name))
+        assert a.shape == b.shape
+        assert np.max(np.abs(a - b)) < 5e-2, np.max(np.abs(a - b))
+        assert (a.argmax(1) == b.argmax(1)).mean() > 0.9
