@@ -461,7 +461,22 @@ class FeatureReader:
         return out
 
     def read(self, physical: str, logical: Optional[str] = None) -> np.ndarray:
-        """Read one utterance with the full pipeline. Returns float32 (T, D)."""
+        """Read one utterance with the full pipeline. Returns float32 (T, D).
+
+        Scans the result for NaN/Inf like the reference does after every
+        feature read (Matrix::CheckData, KaldiLib/Matrix.h:238-250, called
+        from Platform.h:218 and TNetCu.cc:386) — corrupt feature files
+        fail fast with the utterance name instead of poisoning training."""
+        out = self._read_impl(physical, logical)
+        if not np.isfinite(out).all():
+            bad = np.argwhere(~np.isfinite(out))[0]
+            raise ValueError(
+                f"Invalid value: {out[bad[0], bad[1]]} in matrix"
+                f" row: {bad[0]} col: {bad[1]}"
+                f" file: {logical if logical is not None else physical}")
+        return out
+
+    def _read_impl(self, physical: str, logical: Optional[str] = None) -> np.ndarray:
         logical = logical if logical is not None else physical
         file_name, from_frame, to_frame = self.split_range(physical)
 

@@ -160,11 +160,22 @@ class RbmTrainer:
             self._drain()
 
     def finish_epoch(self) -> None:
+        import numpy as np
+
         if self.cache.rows > 0:
             self._drain()
         for m in self._mses:
             self.mse_sum += float(m)
         self._mses = []
+        # NaN/Inf scan after the epoch, like the reference's
+        # pos_hid.CheckData() (TRbmCu.cc:356, cumatrix.h:158) — a diverged
+        # CD-1 run fails fast instead of writing a poisoned model
+        for k, v in self.params.items():
+            a = np.asarray(v)
+            if not np.isfinite(a).all():
+                raise FloatingPointError(
+                    f"Invalid value (NaN/Inf) in RBM parameter '{k}' "
+                    "after epoch — training diverged")
 
     def run_epoch(self, utterances, batch_utts: int = 32) -> None:
         import numpy as np

@@ -242,3 +242,22 @@ def test_stk_open_pipe_streams(tmp_path, example01):
     with stk_open(f"| cat > {out}", "w") as f:
         f.write("hello\n")
     assert out.read_text() == "hello\n"
+
+
+def test_feature_nan_scan(tmp_path):
+    """Corrupt feature files fail fast with row/col/file in the message
+    (Matrix::CheckData semantics, KaldiLib/Matrix.h:238-250)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from nnet_asr_tpu.io.htk import PARMKIND_USER, FeatureReader, write_htk_file
+
+    data = np.ones((10, 4), np.float32)
+    data[3, 2] = np.nan
+    fn = tmp_path / "bad.fea"
+    write_htk_file(str(fn), data, PARMKIND_USER, 100000, True)
+    rd = FeatureReader()
+    with pytest.raises(ValueError, match=r"row: 3 col: 2.*bad\.fea"):
+        rd.read(str(fn))
