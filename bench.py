@@ -42,6 +42,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from nnet_asr_tpu import enable_compilation_cache
+    enable_compilation_cache()
     from nnet_asr_tpu.models import (BiasedLinearity, Network, Sigmoid,
                                      Softmax)
     from nnet_asr_tpu.train.sgd import SgdConfig

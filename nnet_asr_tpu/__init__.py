@@ -20,11 +20,17 @@ Layer map (TPU-native):
 __version__ = "0.1.0"
 
 
-def _enable_compilation_cache():
+def enable_compilation_cache():
     """Persistent XLA compilation cache (measured 147s -> 3.3s for the
     transform program on a remote-compile TPU tunnel). Opt out with
     NNET_ASR_TPU_NO_COMPILE_CACHE=1; an explicit user setting
-    (JAX_COMPILATION_CACHE_DIR or jax.config) wins."""
+    (JAX_COMPILATION_CACHE_DIR or jax.config) wins.
+
+    Called by the CLI entry points (tools/*.py main) and bench.py — NOT at
+    package import: mutating global jax config (and creating a cache dir,
+    and persisting every tiny program for the whole process) is too
+    intrusive a side effect for processes that import nnet_asr_tpu as a
+    library."""
     import os
 
     if os.environ.get("NNET_ASR_TPU_NO_COMPILE_CACHE"):
@@ -46,7 +52,4 @@ def _enable_compilation_cache():
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
-        pass          # cache is an optimization; never block import
-
-
-_enable_compilation_cache()
+        pass          # cache is an optimization; never block startup

@@ -152,8 +152,8 @@ def stk_open(path: str, mode: str = "rb"):
             stream = _io.TextIOWrapper(stream)
 
         class _PipeStream:
-            def __init__(self, f, p):
-                self._f, self._p = f, p
+            def __init__(self, f, p, c):
+                self._f, self._p, self._cmd = f, p, c
 
             def __getattr__(self, name):
                 return getattr(self._f, name)
@@ -169,9 +169,15 @@ def stk_open(path: str, mode: str = "rb"):
 
             def close(self):
                 self._f.close()
-                self._p.wait()
+                rc = self._p.wait()
+                # a failing pipe command must not read as a valid
+                # empty/truncated stream (an empty SCP would silently
+                # train on nothing); STK's stream-error checks fail hard
+                if rc != 0:
+                    raise IOError(
+                        f"pipe command failed (exit {rc}): {self._cmd!r}")
 
-        return _PipeStream(stream, proc)
+        return _PipeStream(stream, proc, cmd)
     return open(path, mode)
 
 

@@ -36,6 +36,8 @@ SNAME = "TNORM"
 
 
 def main(argv=None) -> int:
+    from .. import enable_compilation_cache
+    enable_compilation_cache()
     argv = list(sys.argv if argv is None else argv)
     ui = UserInterface()
     args_parsed = ui.parse_options(argv, OPTION_STRING, SNAME)

@@ -218,7 +218,7 @@ class RecurrentTrainer:
             return -picked, stats
 
         def frame_step(carry, frame):
-            params, velocity, hist, bias_corr, acc = carry
+            params, velocity, hist, y_prev, bias_corr, acc = carry
             x, label, m = frame                     # x (D,), scalars
             pb = params[:ridx]
             pa = params[ridx + 1:]
@@ -226,7 +226,10 @@ class RecurrentTrainer:
             b = params[ridx]["bias"]
 
             u, vjp_b = jax.vjp(lambda p: below_fn(p, x[None, :]), pb)
-            y_prev = hist[0, n_in_r:]
+            # history row 0 is [x_t; y_{t-1}] composed from the layer's
+            # persistent output buffer (cuRecurrent.cc PropagateFnc:28-32;
+            # CuMatrix::Init is a no-op on same dims so Y persists) — the
+            # fed-back y is the real previous output, carried in the scan
             h_in = jnp.concatenate([u[0], y_prev])
             new_hist = jnp.concatenate([h_in[None, :], hist[:-1]], axis=0)
             y = jax.nn.sigmoid(h_in @ W + b)        # (n_out_r,)
@@ -270,21 +273,29 @@ class RecurrentTrainer:
             params = sel(new_params, params)
             velocity = sel(new_velocity, velocity)
             hist = jnp.where(m, new_hist, hist)
+            y_prev = jnp.where(m, y, y_prev)
             bias_corr = jnp.where(m, new_bias_corr, bias_corr)
             stats = {k: jnp.where(m, v, jnp.zeros_like(v))
                      for k, v in stats.items()}
             acc = {k: acc[k] + stats[k] for k in acc}
-            return (params, velocity, hist, bias_corr, acc), None
+            return (params, velocity, hist, y_prev, bias_corr, acc), None
 
-        def serial_utt(params, velocity, acc, feats, labels, mask):
+        def serial_utt(params, velocity, acc, y_prev, bias_corr,
+                       feats, labels, mask):
+            # per-utterance ClearHistory zeroes only the history ring
+            # (cuRecurrent.h:36-38, TRecurrentCu.cc:345-350); the output
+            # buffer y and the bias-correction accumulator persist across
+            # utterances, so they come in through the carry arguments
             hist = jnp.zeros((K + 1, n_in_r + n_out_r), jnp.float32)
-            bias_corr = jnp.zeros((n_out_r,), jnp.float32)
-            (params, velocity, _, _, acc), _ = jax.lax.scan(
-                frame_step, (params, velocity, hist, bias_corr, acc),
+            (params, velocity, _, y_prev, bias_corr, acc), _ = jax.lax.scan(
+                frame_step,
+                (params, velocity, hist, y_prev, bias_corr, acc),
                 (feats, labels, mask))
-            return params, velocity, acc
+            return params, velocity, acc, y_prev, bias_corr
 
         self._serial_utt = jax.jit(serial_utt, donate_argnums=(0, 1, 2))
+        self._serial_y = jnp.zeros((n_out_r,), jnp.float32)
+        self._serial_bias_corr = jnp.zeros((n_out_r,), jnp.float32)
 
     def train_utterance_serial(self, feats: np.ndarray,
                                labels: np.ndarray) -> None:
@@ -297,8 +308,10 @@ class RecurrentTrainer:
         M = np.zeros((Tp,), bool)
         F[:T], L[:T], M[:T] = feats, labels, True
         acc = self._zero_acc()
-        self.params, self.velocity, acc = self._serial_utt(
+        (self.params, self.velocity, acc,
+         self._serial_y, self._serial_bias_corr) = self._serial_utt(
             self.params, self.velocity, acc,
+            self._serial_y, self._serial_bias_corr,
             jnp.asarray(F), jnp.asarray(L), jnp.asarray(M))
         self._accs.append(acc)
 

@@ -131,6 +131,8 @@ def bench_infer(dims, bunch=1024):
 
 
 if __name__ == "__main__":
+    from nnet_asr_tpu import enable_compilation_cache
+    enable_compilation_cache()
     bench_train([598, 1024, 135], bunch=960)
     bench_train([598, 2048, 2048, 2048, 8192])
     bench_train([1024, 4096, 4096, 4096, 4096, 8192])

@@ -162,13 +162,19 @@ def _serial_oracle(net, utts, K, lr, momentum):
     dout = W2.shape[1]
     sig = lambda a: 1.0 / (1.0 + np.exp(-a))
     mmt_gain = 1.0 / (1.0 - momentum) if momentum else 1.0
+    # the output buffer Y and the bias-correction accumulator persist
+    # across utterances: ClearHistory zeroes only the history ring
+    # (cuRecurrent.h:36-38); CuMatrix::Init is a no-op on same dims so
+    # Y keeps the previous frame's output (cumatrix.tcc:18-23)
+    y_prev = np.zeros_like(b)
+    B = np.zeros_like(b)
     for x_utt, l_utt in utts:
         hist = np.zeros((K + 1, W.shape[0]))
-        B = np.zeros_like(b)
         for x, lbl in zip(x_utt, l_utt):
-            h_in = np.concatenate([x, hist[0, din:]])
+            h_in = np.concatenate([x, y_prev])
             hist = np.vstack([h_in[None], hist[:-1]])
             y = sig(h_in @ W + b)
+            y_prev = y
             z = y @ W2 + b2
             p = np.exp(z - z.max()); p /= p.sum()
             e_out = p.copy(); e_out[lbl] -= 1.0       # err = y - t
