@@ -14,15 +14,30 @@ TPU-native replacement for the reference's two parallelism mechanisms
     own column stripe — the exact TPU analog of the reference's
     "each thread updates a disjoint row stripe".
 
+Head coverage matches the single-chip trainer:
+  * ``...→BiasedLinearity→Softmax`` + CE: fully-distributed log-softmax
+    (no logit gather — normalizer travels as two scalars per row).
+  * ``...→BiasedLinearity→BlockSoftmax`` + CE (Activation.cc:55-133) and
+    the MSE objective (ObjFun.cc:24-56, with the reference's
+    identity-backward through a terminal softmax): local logit stripes are
+    ``all_gather``-ed over the model axis (the VJP is a reduce-scatter —
+    both ride ICI) and the exact single-chip loss functions run on the
+    full logits.
+
+Senone dims that don't divide the model axis are zero-padded to the next
+multiple (``n_out_pad``) and the padded columns masked out of the softmax
+(-1e30 logits) — their gradients, momentum and L2 terms are identically
+zero, so they stay zero and slicing them off reproduces the unpadded
+model exactly (tests/test_parallel.py::test_sharded_padded_senones).
+
 Built on ``shard_map`` so the collective placement is explicit; XLA lowers
-psum/pmax to ICI all-reduces.
+psum/pmax/all_gather to ICI collectives.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 import jax
@@ -30,8 +45,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..models.components import BiasedLinearity, Softmax
+from ..models.components import BiasedLinearity, BlockSoftmax, Softmax
 from ..models.network import Network
+from ..ops.objectives import (mse_loss_and_stats, softmax_identity_backward,
+                              xent_loss_and_stats)
 from ..train.sgd import SgdConfig, apply_updates, layer_lr_factors
 
 
@@ -40,6 +57,9 @@ class ShardedTrainState:
     params: List[dict]
     velocity: List[dict]
     param_specs: List[dict]   # PartitionSpec pytree matching params
+    out_idx: Optional[int] = None   # senone-sharded layer (None: replicated)
+    n_out: int = 0                  # true senone count
+    n_out_pad: int = 0              # padded to a multiple of the model axis
 
     def to_device(self, mesh: Mesh):
         """Place params/velocity with their shardings."""
@@ -52,61 +72,107 @@ class ShardedTrainState:
         self.velocity = put(self.velocity, self.param_specs)
         return self
 
+    def host_params(self) -> List[dict]:
+        """Fetch params to host, slicing off senone padding columns."""
+        out = []
+        for i, p in enumerate(self.params):
+            h = {k: np.asarray(v) for k, v in p.items()}
+            if i == self.out_idx and self.n_out_pad != self.n_out:
+                h["weight"] = h["weight"][:, :self.n_out]
+                h["bias"] = h["bias"][:self.n_out]
+            out.append(h)
+        return out
 
-def _find_output_layer(net: Network) -> int:
-    """Index of the senone-producing BiasedLinearity (expects a terminal
-    Softmax behind it)."""
-    if not (len(net.specs) >= 2 and isinstance(net.specs[-1], Softmax)
-            and isinstance(net.specs[-2], BiasedLinearity)):
-        raise ValueError(
-            "sharded step expects ... -> <biasedlinearity> -> <softmax>")
-    return len(net.specs) - 2
+
+def _find_output_layer(net: Network, objective: str):
+    """Locate the senone-producing BiasedLinearity to column-shard.
+
+    Returns (out_idx, block_dims, has_softmax). CE requires a terminal
+    (Block)Softmax fed by a BiasedLinearity (the trainer factorizes the
+    softmax into the fused loss, like the reference's err = y - t trick);
+    MSE accepts that shape or a bare terminal BiasedLinearity.
+    """
+    specs = net.specs
+    if (len(specs) >= 2 and isinstance(specs[-1], (Softmax, BlockSoftmax))
+            and isinstance(specs[-2], BiasedLinearity)):
+        dims = specs[-1].dims if isinstance(specs[-1], BlockSoftmax) else None
+        return len(specs) - 2, dims, True
+    if objective == "mse" and specs and isinstance(specs[-1], BiasedLinearity):
+        return len(specs) - 1, None, False
+    raise ValueError(
+        "sharded step expects ... -> <biasedlinearity> -> <(block)softmax>"
+        + (" (or a terminal <biasedlinearity> for MSE)"
+           if objective == "mse" else ""))
 
 
-def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh):
-    """Build (state, step_fn, eval_fn) for CE training on a (data, model) mesh.
+def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh,
+                            objective: str = "xent"):
+    """Build (state, step_fn, eval_fn, fns) for training on a (data, model)
+    mesh.
 
     step_fn(params, velocity, acc, feats, labels) -> (params, velocity, acc)
     with feats sharded P('data', None), labels P('data'); gradient semantics
     identical to the single-chip trainer (sums over the global bunch).
+    ``fns`` additionally holds 'drain_train'/'drain_eval' whole-cache scans.
     """
-    out_idx = _find_output_layer(net)
+    if objective not in ("xent", "mse"):
+        raise ValueError(f"unknown objective {objective!r}")
+    out_idx, block_dims, has_softmax = _find_output_layer(net, objective)
     body_specs = net.specs[:out_idx]
-    out_spec_comp = net.specs[out_idx]
-    n_out = out_spec_comp.n_outputs
+    n_out = net.specs[out_idx].n_outputs
     m_size = mesh.shape["model"]
     d_size = mesh.shape["data"]
-    if n_out % m_size:
-        raise ValueError(f"output dim {n_out} not divisible by model={m_size}")
+    n_out_pad = -(-n_out // m_size) * m_size
+    out_loc = n_out_pad // m_size
+    # the gather path runs the exact single-chip loss on all-gathered
+    # logits; the plain-softmax CE stays fully distributed
+    gather_head = (objective == "mse") or (block_dims is not None)
     factors = tuple(layer_lr_factors(net, sgd_cfg))
 
-    # ---- parameter partition specs -----------------------------------
+    # ---- parameter partition specs + senone padding -------------------
     param_specs: List[dict] = []
+    padded_params: List[dict] = []
     for i, (spec, p) in enumerate(zip(net.specs, net.params)):
         if i == out_idx:
             param_specs.append({"weight": P(None, "model"), "bias": P("model")})
+            w = np.asarray(p["weight"])
+            b = np.asarray(p["bias"])
+            if n_out_pad != n_out:
+                pad = n_out_pad - n_out
+                w = np.pad(w, ((0, 0), (0, pad)))
+                b = np.pad(b, (0, pad))
+            padded_params.append({"weight": w, "bias": b})
         else:
             param_specs.append({k: P() for k in p})
+            padded_params.append(dict(p))
 
     state = ShardedTrainState(
-        params=[dict(p) for p in net.params],
-        velocity=[{k: jnp.zeros_like(v) for k, v in p.items()
+        params=padded_params,
+        velocity=[{k: jnp.zeros_like(np.asarray(v)) for k, v in p.items()
                    if k in s.trainable_keys}
-                  for s, p in zip(net.specs, net.params)],
-        param_specs=param_specs)
+                  for s, p in zip(net.specs, padded_params)],
+        param_specs=param_specs,
+        out_idx=out_idx, n_out=n_out, n_out_pad=n_out_pad)
 
     # ---- local (per-shard) loss --------------------------------------
-    def local_loss(params, feats, labels):
+    def local_logits(params, feats):
         h = feats
         for spec, p in zip(body_specs, params[:out_idx]):
             h = spec.apply(p, h)
-        logits = h @ params[out_idx]["weight"] + params[out_idx]["bias"]
-        out_loc = n_out // m_size
+        return h @ params[out_idx]["weight"] + params[out_idx]["bias"]
 
-        # distributed log-softmax over the model axis
+    def softmax_ce_loss(params, feats, labels):
+        """Fully-distributed CE: normalizer as psum/pmax scalars per row."""
+        logits = local_logits(params, feats)
+        off = jax.lax.axis_index("model") * out_loc
+        if n_out_pad != n_out:
+            # mask padding columns out of the softmax; where() passes zero
+            # cotangent into the masked branch, so padded weights never move
+            col_valid = (off + jnp.arange(out_loc)) < n_out
+            logits = jnp.where(col_valid[None, :], logits, -1e30)
+
         m = jax.lax.pmax(jnp.max(jax.lax.stop_gradient(logits), axis=1), "model")
         s = jax.lax.psum(jnp.sum(jnp.exp(logits - m[:, None]), axis=1), "model")
-        off = jax.lax.axis_index("model") * out_loc
         # one-hot contraction (a gather's VJP is a TPU-hostile scatter);
         # labels outside this shard's span give all-zero one-hot rows, so
         # non-owning shards contribute 0 to the psum automatically
@@ -122,7 +188,7 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh):
         local_max = jnp.max(jax.lax.stop_gradient(logits), axis=1)
         local_arg = jnp.argmax(jax.lax.stop_gradient(logits), axis=1) + off
         gmax = jax.lax.pmax(local_max, "model")
-        cand = jnp.where(local_max >= gmax, local_arg, n_out)
+        cand = jnp.where(local_max >= gmax, local_arg, n_out_pad)
         pred = jax.lax.pmin(cand, "model")
         stats = {
             "xent": -jnp.sum(jnp.maximum(jax.lax.stop_gradient(logp), -1e10)),
@@ -130,6 +196,24 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh):
             "frames": jnp.asarray(labels.shape[0], jnp.int32),
         }
         return loss, stats
+
+    def gathered_loss(params, feats, labels):
+        """BlockSoftmax / MSE heads: all_gather the logit stripes over the
+        model axis (VJP = reduce-scatter) and run the exact single-chip
+        loss on the full logits."""
+        logits_loc = local_logits(params, feats)
+        full = jax.lax.all_gather(logits_loc, "model", axis=1, tiled=True)
+        full = full[:, :n_out]     # grad into padded columns is zero
+        if objective == "xent":
+            loss, stats = xent_loss_and_stats(full, labels, block_dims)
+        else:
+            y = softmax_identity_backward(full) if has_softmax else full
+            targets = jax.nn.one_hot(labels, n_out, dtype=y.dtype)
+            loss, stats = mse_loss_and_stats(y, targets)
+        # every model shard computes the same loss copy; see softmax_ce_loss
+        return loss / m_size, stats
+
+    local_loss = gathered_loss if gather_head else softmax_ce_loss
 
     def _shard_step(params, velocity, acc, feats, labels):
         (_, stats), grads = jax.value_and_grad(
@@ -153,7 +237,7 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh):
 
     vel_specs = [{k: param_specs[i][k] for k in v}
                  for i, v in enumerate(state.velocity)]
-    acc_spec = {"xent": P(), "correct": P(), "frames": P()}
+    acc_spec = {k: P() for k in zero_acc(objective)}
 
     step = shard_map(
         _shard_step, mesh=mesh,
@@ -206,7 +290,10 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh):
     return state, fns["step"], fns["eval"], fns
 
 
-def zero_acc():
+def zero_acc(objective: str = "xent"):
+    if objective == "mse":
+        return {"mse": jnp.zeros((), jnp.float32),
+                "frames": jnp.zeros((), jnp.int32)}
     return {"xent": jnp.zeros((), jnp.float32),
             "correct": jnp.zeros((), jnp.int32),
             "frames": jnp.zeros((), jnp.int32)}

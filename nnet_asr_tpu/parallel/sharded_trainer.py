@@ -3,14 +3,28 @@
 Drop-in for train.Trainer when more than one device is visible (a pod
 slice, or the virtual CPU mesh in tests): batches shard over the ``data``
 axis, gradients psum over ICI, the senone output layer lives column-
-sharded over ``model``. Multi-host runs use the same code after
-``jax.distributed.initialize()`` — each host feeds its addressable shard
-(jax.make_array_from_process_local_data below handles both cases).
+sharded over ``model`` (auto-padded when the senone count doesn't divide
+the axis). CE with plain or Block softmax heads and the MSE objective are
+supported, matching the single-chip trainer.
+
+Multi-host runs (``jax.distributed.initialize()`` done by the caller) use
+PER-HOST input sharding — each process reads only its own SCP shard and
+feeds only its local slice of every global bunch (the TPU analog of
+SURVEY.md §2.9's "per-host data loading"; the round-1 design where every
+host read the full global batch is gone). Hosts stay in lockstep through
+a drain-negotiation protocol: each fill round, every host offers the
+bunch count its local cache can produce, the fleet agrees on the minimum
+(one tiny ``process_allgather``), drains exactly that many global bunches,
+and carries its surplus rows to the next round. When the first host runs
+dry the epoch ends and every host logs its dropped remainder — the
+multi-host generalization of the reference Cache's sub-bunch tail discard
+(Cache.cc:239-244); balanced SCP shards (TJoiner/TSegmenter-style
+splitting) keep the drop below one local bunch.
 """
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Tuple
+from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
 import jax
@@ -18,11 +32,22 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.network import Network
-from ..ops.objectives import XentStats
+from ..ops.objectives import MseStats, XentStats
 from ..train.cache import DeviceFrameCache
 from ..train.pipeline import TransformPipeline
 from ..train.trainer import TrainerConfig
 from .sharded_step import make_sharded_train_step, zero_acc
+
+
+def _local_row_fraction(mesh: Mesh) -> float:
+    """Fraction of a ``P('data')``-sharded axis this process holds."""
+    sh = NamedSharding(mesh, P("data"))
+    probe = mesh.shape["data"] * 8
+    spans = set()
+    for dev, idx in sh.addressable_devices_indices_map((probe,)).items():
+        sl = idx[0]
+        spans.add((sl.start or 0, probe if sl.stop is None else sl.stop))
+    return sum(b - a for a, b in spans) / probe
 
 
 class ShardedTrainer:
@@ -31,19 +56,16 @@ class ShardedTrainer:
     def __init__(self, net: Network, cfg: TrainerConfig, mesh: Mesh,
                  transform: Optional[Network] = None,
                  start_frm_ext: int = 0, end_frm_ext: int = 0):
-        if cfg.objective != "xent":
-            raise ValueError("sharded trainer supports the CE objective")
         net.check_dims()
         self.net = net
         self.cfg = cfg
         self.mesh = mesh
         self.pipeline = TransformPipeline(transform, start_frm_ext, end_frm_ext)
         self.state, self._step, self._eval, self._fns = \
-            make_sharded_train_step(net, cfg.sgd, mesh)
+            make_sharded_train_step(net, cfg.sgd, mesh,
+                                    objective=cfg.objective)
         self.state.to_device(mesh)
-        self.stats = XentStats()
-        self._data_sharding = NamedSharding(mesh, P("data", None))
-        self._label_sharding = NamedSharding(mesh, P("data"))
+        self.stats = XentStats() if cfg.objective == "xent" else MseStats()
         self.total_frames = 0
         self.wall = 0.0
         self._accs = []
@@ -51,37 +73,48 @@ class ShardedTrainer:
         if cfg.bunchsize % d:
             raise ValueError(
                 f"bunchsize {cfg.bunchsize} not divisible by data axis {d}")
+        self.n_proc = jax.process_count()
+        frac = _local_row_fraction(mesh) if self.n_proc > 1 else 1.0
+        self.local_bunch = int(round(cfg.bunchsize * frac))
+        self.local_cache = int(round(cfg.cachesize * frac))
+        if abs(self.local_bunch - cfg.bunchsize * frac) > 1e-6:
+            raise ValueError(
+                f"bunchsize {cfg.bunchsize} not divisible across "
+                f"{self.n_proc} processes (local fraction {frac})")
+        if self.local_cache % self.local_bunch:
+            raise ValueError(
+                f"cachesize {cfg.cachesize} not divisible by bunchsize "
+                f"under the per-process split")
+        self._feats_sh = NamedSharding(mesh, P(None, "data", None))
+        self._labels_sh = NamedSharding(mesh, P(None, "data"))
 
     @property
     def params(self):
         return self.state.params
 
-    def _put(self, feats: jnp.ndarray, labels: np.ndarray):
-        if jax.process_count() > 1:
-            # multi-host: every process holds the full global batch here
-            # (each host read the same SCP shard layout); hand JAX the
-            # addressable slice of the global array
-            f = jax.make_array_from_process_local_data(
-                self._data_sharding, np.asarray(feats))
-            l = jax.make_array_from_process_local_data(
-                self._label_sharding, np.asarray(labels))
-        else:
-            f = jax.device_put(feats, self._data_sharding)
-            l = jax.device_put(jnp.asarray(labels), self._label_sharding)
+    # -- drain ----------------------------------------------------------
+    def _globalize(self, feats_all, labels_all):
+        """Local (nb, B_loc, ...) device arrays → global sharded arrays."""
+        if self.n_proc == 1:
+            return (jax.device_put(feats_all, self._feats_sh),
+                    jax.device_put(labels_all, self._labels_sh))
+        # multi-host: each process contributes its addressable slice of
+        # the global bunch axis (per-host data loading)
+        f_np = np.asarray(feats_all)
+        l_np = np.asarray(labels_all)
+        nb = f_np.shape[0]
+        f = jax.make_array_from_process_local_data(
+            self._feats_sh, f_np,
+            (nb, self.cfg.bunchsize, f_np.shape[2]))
+        l = jax.make_array_from_process_local_data(
+            self._labels_sh, l_np, (nb, self.cfg.bunchsize))
         return f, l
 
-    def _drain_cache(self, cache: DeviceFrameCache) -> None:
-        stacked = cache.take_stacked()
+    def _drain_stacked(self, stacked) -> None:
         if stacked is None:
             return
-        feats_all, labels_all = stacked
-        from jax.sharding import PartitionSpec as P
-
-        fsh = jax.device_put(feats_all, jax.NamedSharding(
-            self.mesh, P(None, "data", None)))
-        lsh = jax.device_put(labels_all, jax.NamedSharding(
-            self.mesh, P(None, "data")))
-        acc = zero_acc()
+        fsh, lsh = self._globalize(*stacked)
+        acc = zero_acc(self.cfg.objective)
         if self.cfg.crossvalidate:
             acc = self._fns["drain_eval"](self.state.params, acc, fsh, lsh)
         else:
@@ -94,47 +127,83 @@ class ShardedTrainer:
 
     def _flush_acc(self) -> None:
         for acc in self._accs:
-            self.stats.add(float(acc["xent"]), int(acc["frames"]),
-                           int(acc["correct"]))
+            if self.cfg.objective == "xent":
+                self.stats.add(float(acc["xent"]), int(acc["frames"]),
+                               int(acc["correct"]))
+            else:
+                self.stats.add(float(acc["mse"]), int(acc["frames"]))
         self._accs = []
 
+    # -- epoch ----------------------------------------------------------
     def run_epoch(self, utterances: Iterable[Tuple[np.ndarray, np.ndarray]],
                   batch_utts: int = 32) -> None:
         import time
 
         t0 = time.time()
-        cache = DeviceFrameCache(self.cfg.cachesize, self.cfg.bunchsize,
+        cache = DeviceFrameCache(self.local_cache, self.local_bunch,
                                  self.cfg.seed, self.cfg.randomize)
-        pend_f, pend_l = [], []
+        it = iter(utterances)
+        exhausted = False
 
-        def flush():
-            if not pend_f:
-                return
-            # shape-stable intake (see train.Trainer.run_epoch)
-            rows, valid = self.pipeline.transform_block(pend_f)
-            labels_block = np.concatenate(pend_l)
-            self.total_frames += valid
-            cache.add_block(rows, valid, labels_block)
-            while cache.full:
-                self._drain_cache(cache)
-            pend_f.clear()
-            pend_l.clear()
+        def fill():
+            nonlocal exhausted
+            pend_f: List[np.ndarray] = []
+            pend_l: List[np.ndarray] = []
 
-        for feats, labels in utterances:
-            pend_f.append(np.asarray(feats, np.float32))
-            pend_l.append(np.asarray(labels, np.int32))
-            if len(pend_f) >= batch_utts:
-                flush()
-        flush()
-        if cache.rows > 0:
-            self._drain_cache(cache)
+            def flush():
+                if not pend_f:
+                    return
+                # shape-stable intake (see train.Trainer.run_epoch)
+                rows, valid = self.pipeline.transform_block(pend_f)
+                labels_block = np.concatenate(pend_l)
+                self.total_frames += valid
+                cache.add_block(rows, valid, labels_block)
+                pend_f.clear()
+                pend_l.clear()
+
+            while not cache.full and not exhausted:
+                try:
+                    feats, labels = next(it)
+                except StopIteration:
+                    exhausted = True
+                    break
+                pend_f.append(np.asarray(feats, np.float32))
+                pend_l.append(np.asarray(labels, np.int32))
+                if len(pend_f) >= batch_utts:
+                    flush()
+            flush()
+
+        if self.n_proc == 1:
+            while True:
+                fill()
+                while cache.full:
+                    self._drain_stacked(cache.take_stacked())
+                if exhausted:
+                    break
+            if cache.rows > 0:
+                self._drain_stacked(cache.take_stacked())
+        else:
+            from jax.experimental import multihost_utils
+
+            while True:
+                fill()
+                nb_local = min(cache.rows, cache.cachesize) // self.local_bunch
+                offers = np.asarray(multihost_utils.process_allgather(
+                    np.int32(nb_local)))
+                agreed = int(offers.min())
+                if agreed == 0:
+                    break
+            # hosts agreed: drain exactly `agreed` bunches, carry surplus
+                self._drain_stacked(cache.take_stacked(max_bunches=agreed))
+            if cache.rows > 0:
+                print(f"[sharded] host {jax.process_index()}: dropping "
+                      f"{cache.rows} unmatched frames at epoch end "
+                      f"(unbalanced SCP shards)", flush=True)
         self._flush_acc()
         self.wall += time.time() - t0
 
     def updated_network(self) -> Network:
-        host = [{k: np.asarray(v) for k, v in p.items()}
-                for p in self.state.params]
-        return Network(self.net.specs, host)
+        return Network(self.net.specs, self.state.host_params())
 
     def report(self) -> str:
         return self.stats.report()

@@ -91,6 +91,10 @@ def main(argv=None) -> int:
         print(f"\n======= TNET v{__version__} (nnet_asr_tpu) =======\n")
     # read every accepted param BEFORE the unused-param check
     mesh_spec = ui.get_str("MESH")   # e.g. --MESH=4x2 → data=4, model=2
+    # multi-host fleet membership: initialize jax.distributed from the
+    # standard env (JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID
+    # or the cluster autodetect) and feed this host only its SCP shard
+    distributed = ui.get_bool("DISTRIBUTED", False)
     p_resume = ui.get_str("RESUMESTATE")
     p_save = ui.get_str("SAVESTATE")
     p_jaxprofile = ui.get_str("JAXPROFILE")
@@ -110,6 +114,20 @@ def main(argv=None) -> int:
         from ..io.scp import parse_scp_entry
         entries.append(parse_scp_entry(extra))
 
+    if distributed:
+        import jax
+        jax.distributed.initialize()
+    import jax as _jax
+    if _jax.process_count() > 1:
+        # per-host input sharding (SURVEY.md §2.9 "per-host data loading"):
+        # each process reads only its stride of the SCP; ShardedTrainer
+        # assembles global bunches from the per-host slices and keeps the
+        # fleet in lockstep via drain negotiation
+        pid, np_ = _jax.process_index(), _jax.process_count()
+        entries = entries[pid::np_]
+        print(f"[distributed] process {pid}/{np_}: "
+              f"{len(entries)} SCP entries in local shard", flush=True)
+
     labels_repo = LabelRepository(p_mlf, p_label_map, p_lbl_dir, p_lbl_ext)
     transform = Network.read(p_transform) if p_transform else None
     net = Network.read(p_source_mmf)
@@ -122,12 +140,15 @@ def main(argv=None) -> int:
                       weightcost=weightcost, l1=l1, grad_div_frm=grad_div_frm,
                       lr_factors=SgdConfig.parse_factors(lr_factors)),
         trace=trace, confusion_mode=confusion_mode)
-    if mesh_spec:
+    if mesh_spec or _jax.process_count() > 1:
         from ..parallel.mesh import make_mesh
         from ..parallel.sharded_trainer import ShardedTrainer
 
-        d, _, m = mesh_spec.lower().partition("x")
-        mesh = make_mesh(data=int(d), model=int(m) if m else 1)
+        if mesh_spec:
+            d, _, m = mesh_spec.lower().partition("x")
+            mesh = make_mesh(data=int(d), model=int(m) if m else 1)
+        else:
+            mesh = make_mesh()      # multi-host default: all-data mesh
         trainer = ShardedTrainer(net, cfg, mesh, transform,
                                  feaparams["start_frm_ext"],
                                  feaparams["end_frm_ext"])
@@ -187,7 +208,8 @@ def main(argv=None) -> int:
     if p_save and hasattr(trainer, "save_state"):
         trainer.save_state(p_save)
 
-    if not crossval:
+    if not crossval and _jax.process_index() == 0:
+        # multi-host: params are replicated post-update; process 0 writes
         out_net = trainer.updated_network()
         if p_targetmmf:
             out_net.write(p_targetmmf)

@@ -212,6 +212,12 @@ class DeviceFrameCache:
             lambda buf: buf.at[:buf.shape[0] - self.cachesize].set(
                 buf[self.cachesize:]),
             donate_argnums=(0,))
+        # generalized roll from a DATA offset (partial drains keep the
+        # program shape-stable: one gather with a dynamic start row)
+        self._roll_from = jax.jit(
+            lambda buf, off: jnp.take(
+                buf, jnp.arange(buf.shape[0]) + off, axis=0, mode="clip"),
+            donate_argnums=(0,))
         B = bunchsize
 
         def gather_stacked(buf, perm, n_rows):
@@ -257,15 +263,26 @@ class DeviceFrameCache:
     def rows(self) -> int:
         return self._rows
 
-    def take_stacked(self):
+    def take_stacked(self, max_bunches: Optional[int] = None):
         """Shuffle + stack the cache into ((nb, bunch, D), (nb, bunch))
         and carry the overflow tail to the front for the next fill.
-        Returns None if fewer than one bunch is cached."""
+        Returns None if fewer than one bunch is cached.
+
+        ``max_bunches`` drains at most that many bunches and carries ALL
+        remaining rows (not just the over-cachesize overflow) — the
+        multi-host lockstep protocol drains the agreed-on minimum bunch
+        count per round (parallel/sharded_trainer.py); only the drained
+        prefix is shuffled, carried rows keep arrival order."""
         if self._rows == 0:
             raise RuntimeError("take_stacked on empty cache")
-        n = min(self._rows, self.cachesize)
-        nb = n // self.bunchsize
         B = self.bunchsize
+        n = min(self._rows, self.cachesize)
+        if max_bunches is not None:
+            n = min(n, max_bunches * B)
+            n -= n % B      # partial drains take whole bunches only
+            if n == 0:
+                return None
+        nb = n // B
         labels, self._labels = self._labels[:n], self._labels[n:]
         if self.randomize:
             perm = self.rng.permutation(n)
@@ -278,13 +295,17 @@ class DeviceFrameCache:
                 else jnp.asarray(perm.astype(np.int32))
             feats = self._gather_stacked(self._buf, perm_dev, n_rows=n)
             labels_dev = jnp.asarray(labels[:nb * B].reshape(nb, B))
-        self.discarded += n - nb * B
-        if self._rows > self.cachesize:
+        if max_bunches is None:
+            self.discarded += n - nb * B
+        if self._rows > n:
             # the runtime sequences the donated-buffer roll after the
             # pending gather that reads it — no host sync needed, and not
             # syncing lets feature IO overlap the device drain
-            self._buf = self._roll(self._buf)
-            self._rows -= self.cachesize
+            if n == self.cachesize:
+                self._buf = self._roll(self._buf)
+            else:
+                self._buf = self._roll_from(self._buf, jnp.int32(n))
+            self._rows -= n
         else:
             self._rows = 0
             self._labels = np.zeros((0,), np.int32)

@@ -104,9 +104,15 @@ def apply_updates(net: Network, params: List[dict], velocity: List[dict],
                 else:
                     corr = g[k]
                 w = p[k] - (lr / N) * corr
-                # L2 weight decay from live weights (cuBiasedLinearity.cc:60-62);
-                # reference applies it to weights only, not biases? It applies
-                # to mLinearity only — match that: decay matrices, not vectors.
+                # L2 weight decay from live weights, matrices ONLY — both
+                # reference backends decay mLinearity and leave mBias alone:
+                # GPU "regularization weight decay (from actual weights
+                # only)" touches just mLinearity (cuBiasedLinearity.cc:62-64)
+                # and the CPU row-striped update decays tgt_mat (the weight
+                # stripe) while the bias update has no decay term
+                # (BiasedLinearity.cc:155-170). Asserted against the built
+                # reference binary in tests/test_sgd.py::test_l2_decays_
+                # matrices_not_biases.
                 if cfg.weightcost != 0.0 and w.ndim >= 2:
                     decay = lr * cfg.weightcost * (
                         jnp.asarray(1.0, jnp.float32) if cfg.grad_div_frm else n_frames)

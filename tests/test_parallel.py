@@ -78,6 +78,119 @@ def test_sharded_matches_single_chip(data, model):
     assert abs(float(acc["xent"]) - ref.stats.error) < 0.05
 
 
+def _mlp_head(rng, head, din=16, dh=32, dout=21):
+    from nnet_asr_tpu.models import BlockSoftmax
+    if head == "blocksoftmax":
+        top = BlockSoftmax(dout, dout, dims=(8, 6, 7))
+    elif head == "softmax":
+        top = Softmax(dout, dout)
+    else:
+        top = None
+    specs = (BiasedLinearity(din, dh), Sigmoid(dh, dh),
+             BiasedLinearity(dh, dout)) + ((top,) if top else ())
+    params = [
+        {"weight": (0.1 * rng.standard_normal((din, dh))).astype(np.float32),
+         "bias": np.zeros(dh, np.float32)},
+        {},
+        {"weight": (0.1 * rng.standard_normal((dh, dout))).astype(np.float32),
+         "bias": np.zeros(dout, np.float32)},
+    ] + ([{}] if top else [])
+    return Network(specs, params)
+
+
+def _run_reference_obj(net, bunches, sgd_cfg, objective):
+    cfg = TrainerConfig(bunchsize=bunches[0][0].shape[0],
+                        cachesize=bunches[0][0].shape[0] * len(bunches),
+                        randomize=False, sgd=sgd_cfg, objective=objective)
+    tr = Trainer(net, cfg)
+    for X, labels in bunches:
+        acc = tr._zero_acc()
+        tr.params, tr.velocity, acc = tr._train_step(
+            tr.params, tr.velocity, acc, jnp.asarray(X), jnp.asarray(labels))
+        tr._merge_acc(acc)
+    return tr
+
+
+@pytest.mark.parametrize("data,model", [(4, 2), (2, 4), (1, 8)])
+def test_sharded_padded_senones(data, model):
+    """n_out=21 doesn't divide the model axis: auto-padding with masked CE
+    must reproduce the single-chip trajectory exactly (the VERDICT round-1
+    fix: tnet --MESH on the real 135-senone example-01 model)."""
+    rng = np.random.default_rng(3)
+    net = _mlp_head(rng, "softmax")          # dout=21, not divisible by 2/4
+    sgd_cfg = SgdConfig(learning_rate=0.05, momentum=0.5, weightcost=1e-4,
+                        grad_div_frm=True)
+    bunches = [(rng.standard_normal((32, 16)).astype(np.float32),
+                rng.integers(0, 21, 32).astype(np.int32)) for _ in range(3)]
+    ref = _run_reference_obj(net, bunches, sgd_cfg, "xent")
+
+    mesh = make_mesh(data=data, model=model)
+    state, step, evalf, _ = make_sharded_train_step(net, sgd_cfg, mesh)
+    assert state.n_out_pad == -(-21 // model) * model
+    state.to_device(mesh)
+    acc = zero_acc()
+    with jax.default_matmul_precision("highest"):
+        for X, labels in bunches:
+            state.params, state.velocity, acc = step(
+                state.params, state.velocity, acc,
+                jnp.asarray(X), jnp.asarray(labels))
+    host = state.host_params()
+    for i in (0, 2):
+        for k in ("weight", "bias"):
+            np.testing.assert_allclose(
+                host[i][k], np.asarray(ref.params[i][k]),
+                rtol=3e-4, atol=1e-6,
+                err_msg=f"layer {i} {k} mesh {data}x{model}")
+    # padded columns never moved off zero
+    padded_w = np.asarray(state.params[2]["weight"])[:, 21:]
+    assert padded_w.shape[1] == state.n_out_pad - 21
+    np.testing.assert_array_equal(padded_w, 0.0)
+    assert int(acc["correct"]) == ref.stats.corr
+    assert abs(float(acc["xent"]) - ref.stats.error) < 0.05
+
+
+@pytest.mark.parametrize("head,objective", [
+    ("blocksoftmax", "xent"),     # BlockSoftmax CE (Activation.cc:55-133)
+    ("softmax", "mse"),           # MSE through terminal softmax (identity bwd)
+    ("bare", "mse"),              # MSE on a bare linear output
+])
+def test_sharded_gathered_heads(head, objective):
+    """BlockSoftmax and MSE heads under the mesh: all-gathered logits must
+    reproduce the single-chip trainer's trajectory."""
+    rng = np.random.default_rng(4)
+    net = _mlp_head(rng, head)
+    sgd_cfg = SgdConfig(learning_rate=0.05, momentum=0.5, weightcost=1e-4,
+                        grad_div_frm=True)
+    bunches = [(rng.standard_normal((24, 16)).astype(np.float32),
+                rng.integers(0, 21, 24).astype(np.int32)) for _ in range(3)]
+    ref = _run_reference_obj(
+        Network(net.specs, [dict(p) for p in net.params]), bunches, sgd_cfg,
+        objective)
+
+    mesh = make_mesh(data=2, model=4)        # 21 % 4 != 0: also pads
+    state, step, evalf, _ = make_sharded_train_step(
+        net, sgd_cfg, mesh, objective=objective)
+    state.to_device(mesh)
+    acc = zero_acc(objective)
+    with jax.default_matmul_precision("highest"):
+        for X, labels in bunches:
+            state.params, state.velocity, acc = step(
+                state.params, state.velocity, acc,
+                jnp.asarray(X), jnp.asarray(labels))
+    host = state.host_params()
+    for i in (0, 2):
+        for k in ("weight", "bias"):
+            np.testing.assert_allclose(
+                host[i][k], np.asarray(ref.params[i][k]),
+                rtol=3e-4, atol=2e-6, err_msg=f"layer {i} {k} ({head})")
+    if objective == "xent":
+        assert int(acc["correct"]) == ref.stats.corr
+        assert abs(float(acc["xent"]) - ref.stats.error) < 0.05
+    else:
+        assert abs(float(acc["mse"]) - ref.stats.error) < 0.05
+    assert int(acc["frames"]) == ref.stats.frames
+
+
 def test_sharded_eval():
     rng = np.random.default_rng(1)
     net = _mlp(rng)

@@ -141,6 +141,59 @@ def test_example01_crossvalidate_improves(example01_training):
     assert acc_trained > 15.0
 
 
+def test_example01_mesh_trains_real_senone_count(example01_training):
+    """tnet --MESH=4x2 on the REAL 135-senone example-01 model (135 % 2 != 0
+    → senone auto-padding with masked CE) must reproduce the single-chip
+    epoch: same shuffle/seed → same stats, allclose params."""
+    log, out_mmf = example01_training
+    example01 = "/root/reference/examples/01test_MLP3_compare_multithread_cuda_decode_phn"
+    import contextlib, io, re
+
+    import jax
+
+    init = out_mmf.parent / "init.mmf"
+    scp = out_mmf.parent / "sub.scp"
+    out_mesh = out_mmf.parent / "epoch1_mesh.mmf"
+    from nnet_asr_tpu.tools import tnet
+    cwd = os.getcwd()
+    os.chdir(example01)
+    try:
+        buf = io.StringIO()
+        with jax.default_matmul_precision("highest"), \
+                contextlib.redirect_stdout(buf):
+            tnet.main([
+                "tnet", "-H", str(init),
+                "-I", "lib/test_3s.mlf", "-L", "*/", "-X", "lab",
+                "-S", str(scp), "-m", "lib/mono_state_phn_set_135_phn",
+                "-n", "0.008", "--GRAD-DIV-FRM=F",
+                "--TARGETMMF=" + str(out_mesh),
+                "--BUNCHSIZE=960", "--CACHESIZE=4800",
+                "--RANDOMIZE=TRUE", "--SEED=123", "--MESH=4x2",
+                "--FEATURETRANSFORM=lib/Hamm_dct_norm",
+                "--STARTFRMEXT=25", "--ENDFRMEXT=25"])
+    finally:
+        os.chdir(cwd)
+    mesh_log = buf.getvalue()
+    m1 = re.search(r"Xent:(\S+) frames:(\d+) err/frm:\S+ correct\[([\d.]+)%\]",
+                   log)
+    m2 = re.search(r"Xent:(\S+) frames:(\d+) err/frm:\S+ correct\[([\d.]+)%\]",
+                   mesh_log)
+    assert m2, mesh_log
+    assert int(m2.group(2)) == int(m1.group(2))                 # frames
+    assert abs(float(m2.group(3)) - float(m1.group(3))) < 0.1   # accuracy %
+    assert abs(float(m2.group(1)) - float(m1.group(1))) < 20.0  # Xent sum
+
+    from nnet_asr_tpu.models import Network
+    import numpy as np
+    single = Network.read(str(out_mmf))
+    meshed = Network.read(str(out_mesh))
+    assert meshed.n_outputs == 135      # padding sliced off on export
+    for i in (0, 2):
+        np.testing.assert_allclose(
+            np.asarray(meshed.params[i]["weight"]),
+            np.asarray(single.params[i]["weight"]), rtol=5e-3, atol=2e-5)
+
+
 def test_userinterface_strips_shell_quotes():
     ui = UserInterface()
     ui.parse_options(["prog", "-L", "'*/'", "--FOO=\"bar baz\""],
