@@ -28,6 +28,11 @@ class LatticeArc:
     word: Optional[str] = None
     acoustic: float = 0.0
     lm: float = 0.0
+    # extra UNSCALED log score (pronunciation prob × PRONUNSCALE + word
+    # penalty, attached by the word→phone expansion) — the MPE scorer adds
+    # it on top of lm_scale·lm, the way STK enters mPronScale/mWPenalty
+    # into the token score outside the lmScale product
+    prior: float = 0.0
 
 
 @dataclass

@@ -79,6 +79,12 @@ def main(argv=None) -> int:
     stprn_step = ui.get_flt("PRUNINGINC", 0.0)
     stprn_limit = ui.get_flt("PRUNINGMAX", 0.0)
     nframeoutpnorm = ui.get_bool("NFRAMEOUTPNORM", False)
+    # word-lattice expansion (TMpeCu.cc:254-282, 535-544): a dictionary
+    # turns word arcs into aligned phone chains (train/lattice_expand.py)
+    p_dict = ui.get_str("SOURCEDICT")
+    pron_scale = ui.get_flt("PRONUNSCALE", 1.0)
+    word_penalty = ui.get_flt("WORDPENALTY", 0.0)
+    respect_pronvars = ui.get_bool("RESPECTPRONVARS", False)
     # MMI mode: err = -kappa*(onehot(numerator alignment) - gamma_den^ML).
     # Restores the capability of TMmiCu, which the reference build lists
     # but whose source is absent from the fork (src/Makefile:46).
@@ -116,10 +122,17 @@ def main(argv=None) -> int:
     hmms = parse_mmf(p_hmm)
     if mpe_engine == "auto":
         mpe_engine = "jax" if jax.default_backend() != "cpu" else "numpy"
+    dictionary = None
+    if p_dict:
+        from ..io.dictionary import read_dictionary
+        dictionary = read_dictionary(p_dict)
     mpe = MpeComputer(hmms, labels_repo.label_map,
                       MpeConfig(lm_scale=lm_scale, outprb_scale=outprb_scale,
-                                ml_gamma=ml_gamma or mmi),
-                      engine=mpe_engine)
+                                ml_gamma=ml_gamma or mmi,
+                                pron_scale=pron_scale,
+                                word_penalty=word_penalty,
+                                respect_pronun_var=respect_pronvars),
+                      engine=mpe_engine, dictionary=dictionary)
     lattices = LatticeArchive(p_lat_dir, p_lat_ext)
 
     entries = read_scp(p_script) if p_script else []

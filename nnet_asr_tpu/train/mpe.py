@@ -51,6 +51,11 @@ class MpeConfig:
     outprb_scale: float = 1.0          # kappa (acoustic/posterior scale)
     ml_gamma: bool = False             # plain ML occupancy accumulation
     frame_rate: float = 100.0
+    pron_scale: float = 1.0            # PRONUNSCALE (TMpeCu.cc:265)
+    word_penalty: float = 0.0          # WORDPENALTY (TMpeCu.cc:256)
+    # RESPECTPRONVARS (TMpeCu.cc:274): True expands only the lattice's
+    # variant; False (ref default) expands every dictionary variant
+    respect_pronun_var: bool = False
     # lattice beam (log domain): nodes whose alpha falls more than this
     # below the best alpha at the same node time are deactivated, as
     # STK's token-passing state pruning (Decoder mPruningThresh,
@@ -220,10 +225,22 @@ def labels_to_phone_segments(frame_labels: np.ndarray,
 
 class MpeComputer:
     def __init__(self, hmms: Dict[str, Hmm], label_map: Dict[str, int],
-                 cfg: MpeConfig, engine: str = "numpy"):
+                 cfg: MpeConfig, engine: str = "numpy",
+                 dictionary: Optional[dict] = None):
         self.hmms = hmms
         self.label_map = label_map
         self.cfg = cfg
+        self.expander = None
+        if dictionary:
+            # word lattices: expand word arcs to timed phone chains
+            # against the same kappa-scaled posteriors (TMpeCu.cc:535-544
+            # ExpansionsAndOptimizations analog — train/lattice_expand.py)
+            from .lattice_expand import LatticeExpander
+            self.expander = LatticeExpander(
+                hmms, label_map, dictionary,
+                outprb_scale=cfg.outprb_scale, pron_scale=cfg.pron_scale,
+                word_penalty=cfg.word_penalty, frame_rate=cfg.frame_rate,
+                multiple_pronun=not cfg.respect_pronun_var)
         self._padded = engine == "jax"
         if self._padded:
             # bucket-padded masked kernels: ONE device call per utterance
@@ -255,7 +272,7 @@ class MpeComputer:
             if phone is None or phone in ("!NULL", "<s>", "</s>"):
                 arcs.append(ArcInfo(a.start, a.end, t0, t1, phone or "!NULL",
                                     [], log_like=0.0,
-                                    score=self.cfg.lm_scale * a.lm))
+                                    score=self.cfg.lm_scale * a.lm + a.prior))
                 continue
             if phone not in self.hmms:
                 raise KeyError(f"Phone '{phone}' not in HMM set")
@@ -263,7 +280,7 @@ class MpeComputer:
             if t1 <= t0:
                 raise ValueError(f"Zero-length arc for phone {phone}")
             info = ArcInfo(a.start, a.end, t0, t1, phone, list(ids),
-                           score=self.cfg.lm_scale * a.lm)
+                           score=self.cfg.lm_scale * a.lm + a.prior)
             buckets.setdefault((t1 - t0, len(ids)), []).append(len(arcs))
             arcs.append(info)
         return arcs, buckets
@@ -373,6 +390,8 @@ class MpeComputer:
         underflow — overpruning or bad data.
         """
         T, C = log_post.shape
+        if self.expander is not None and self.expander.needs_expansion(lat):
+            lat = self.expander.expand(lat, log_post)
         beam = self.cfg.pruning if pruning is None else pruning
         beam = beam if beam > 0.0 else None     # 0 => -LOG_0, TMpeCu.cc:559
         if beam is None:

@@ -210,3 +210,43 @@ def test_tmpe_mmi_mode(mpe_setup):
         src = dst
     acc1 = _segment_decision_accuracy(Network.read(src), utts)
     assert acc1 > acc0, (acc0, acc1)
+
+
+def test_tmpe_word_lattices_with_dictionary(mpe_setup, tmp_path):
+    """The tmpe TOOL on WORD lattices + --SOURCEDICT: with words mapping
+    1:1 to phones the updated model must be byte-identical to the run on
+    the pre-expanded phone lattices (the expansion path end-to-end)."""
+    tmp, utts = mpe_setup
+    import os
+
+    from nnet_asr_tpu.io.slf import read_slf, write_slf
+    from nnet_asr_tpu.tools import tmpe
+
+    # derive word lattices (phone 'a' -> word 'A', ...) + dictionary
+    words_dir = tmp_path / "wordlats"
+    words_dir.mkdir()
+    for name in os.listdir(tmp / "lats"):
+        lat = read_slf(str(tmp / "lats" / name))
+        for a in lat.arcs:
+            a.word = a.word.upper()
+        with open(words_dir / name, "w") as f:
+            write_slf(lat, f)
+    dict_file = tmp_path / "words.dic"
+    dict_file.write_text("A a\nB b\nC c\n")
+
+    common = [
+        "-I", str(tmp / "labels.mlf"), "-L", "*/", "-X", "lab",
+        "-m", str(tmp / "phones.map"), "-S", str(tmp / "train.scp"),
+        "--HMM=" + str(tmp / "hmms.mmf"),
+        "--OUTPSCALE=1.0", "--LEARNINGRATE=2.0",
+    ]
+    out_phone = tmp_path / "phone.mmf"
+    tmpe.main(["tmpe", "-H", str(tmp / "init.mmf"),
+               "--LATTICEDIR=" + str(tmp / "lats"),
+               "--TARGETMMF=" + str(out_phone)] + common)
+    out_word = tmp_path / "word.mmf"
+    tmpe.main(["tmpe", "-H", str(tmp / "init.mmf"),
+               "--LATTICEDIR=" + str(words_dir),
+               "--SOURCEDICT=" + str(dict_file),
+               "--TARGETMMF=" + str(out_word)] + common)
+    assert out_word.read_text() == out_phone.read_text()
