@@ -210,14 +210,39 @@ def read_htk_file(path: str, big_endian: bool = True):
 
 def write_htk_file(path: str, data: np.ndarray, sample_kind: int,
                    sample_period: int = 100000, big_endian: bool = True) -> None:
-    """Write a float32 HTK feature file (uncompressed).
+    """Write an HTK feature file; a ``_C`` sample kind compresses to int16.
 
-    Mirrors WriteHTKFeatures as used by TFeaCat (Features.cc:485-538).
+    Mirrors WriteHTKFeatures (Features.cc:1564-1612): per-coefficient
+    ``scale = 2*32767/(max-min)``, ``bias = scale*(max+min)/2``, the A/B
+    rows written as float32 before the int16 samples, header nSamples
+    padded by 4 (2*sizeof(float32)/sizeof(int16)) and sampleSize in int16
+    units; values quantize as C's float→int16 cast, i.e. truncation toward
+    zero (WriteHTKFeature, Features.cc:1510-1533).
     """
     data = np.ascontiguousarray(data, dtype=np.float32)
     n, dim = data.shape
-    hdr = HtkHeader(n, sample_period, dim * 4, sample_kind)
     bo = ">" if big_endian else "<"
+    if sample_kind & PARMKIND_C:
+        xmin = data.min(axis=0)
+        xmax = data.max(axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scale = np.float32(2 * 32767) / (xmax - xmin)
+            bias = scale * (xmax + xmin) / np.float32(2)
+            q = data * scale[None, :] - bias[None, :]
+        # C float->int16 conversion truncates toward zero; non-finite
+        # (constant column => inf scale) lands at INT16_MIN like x86's
+        # cvttss2si — the reference doesn't guard that case either
+        q = np.trunc(q)
+        q = np.where(np.isfinite(q), q, -32768.0)
+        samples = np.clip(q, -32768, 32767).astype(bo + "i2")
+        hdr = HtkHeader(n + 4, sample_period, dim * 2, sample_kind)
+        with open(path, "wb") as f:
+            f.write(hdr.pack(big_endian))
+            f.write(scale.astype(bo + "f4").tobytes())
+            f.write(bias.astype(bo + "f4").tobytes())
+            f.write(samples.tobytes())
+        return
+    hdr = HtkHeader(n, sample_period, dim * 4, sample_kind)
     with open(path, "wb") as f:
         f.write(hdr.pack(big_endian))
         f.write(data.astype(bo + "f4").tobytes())

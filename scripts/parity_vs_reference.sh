@@ -16,13 +16,13 @@ mkdir -p $WORK
 
 # 1. build reference CPU binaries (KaldiLib+TNetLib only; GotoBLAS binary is
 #    not shipped, link the system netlib BLAS instead)
-if [ ! -x $SRC/TNet ]; then
+if [ ! -x $SRC/TNet ] || [ ! -x $SRC/TJoiner ]; then
   rm -rf $SRC && cp -r $REF/src $SRC
   cd $SRC
   g++ -std=gnu++03 -fpermissive -m64 -O2 -w -DHAVE_ATLAS -IKaldiLib -ITNetLib \
-      -c KaldiLib/*.cc TNetLib/*.cc TNet.cc TFeaCat.cc TNorm.cc
-  for tool in TNet TFeaCat TNorm; do
-    g++ -o $tool $tool.o $(ls *.o | grep -vE '^T(Net|FeaCat|Norm)\.o') \
+      -c KaldiLib/*.cc TNetLib/*.cc TNet.cc TFeaCat.cc TNorm.cc TJoiner.cc
+  for tool in TNet TFeaCat TNorm TJoiner; do
+    g++ -o $tool $tool.o $(ls *.o | grep -vE '^T(Net|FeaCat|Norm|Joiner)\.o') \
         $BLAS $LAPACK -pthread
   done
 fi
