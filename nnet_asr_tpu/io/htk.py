@@ -126,11 +126,15 @@ def _read_header(f, big_endian: bool = True) -> HtkHeader:
     return HtkHeader(n, per, sz, kind)
 
 
-def stk_open(path: str, mode: str = "rb"):
-    """Open a file OR a shell pipe, StkStream-style (StkStream.tcc:128-150):
+def stk_open(path: str, mode: str = "rb", filter_cmd: Optional[str] = None):
+    """Open a file OR a shell pipe, StkStream-style (StkStream.tcc:100-180):
     a leading ``|`` runs the rest as a shell command and streams its stdout
-    (read modes) / stdin (write modes); ``-`` is stdio. Returns a file-like
-    object whose ``close()`` also reaps the subprocess."""
+    (read modes) / stdin (write modes); ``-`` is stdio. ``filter_cmd`` is
+    the HTK filter mechanism (H*FILTER configs): a shell command run over
+    the file with every ``$`` replaced by the filename
+    (ExpandHtkFilterCmd, Common.cc:203-227) — e.g. ``'gunzip -c $'``.
+    Returns a file-like object whose ``close()`` also reaps the
+    subprocess."""
     import io as _io
     import subprocess
     import sys as _sys
@@ -140,6 +144,8 @@ def stk_open(path: str, mode: str = "rb"):
         if "r" in mode:
             return _sys.stdin if text else _sys.stdin.buffer
         return _sys.stdout if text else _sys.stdout.buffer
+    if filter_cmd and not path.startswith("|"):
+        path = "|" + filter_cmd.replace("$", path)
     if path.startswith("|"):
         cmd = path[1:].strip()
         if "r" in mode:

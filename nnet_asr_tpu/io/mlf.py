@@ -2,8 +2,20 @@
 
 Re-implements the capability of KaldiLib/MlfStream.{h,tcc}: the ``Index()``
 pass hashes every ``"name"`` block to a stream offset so shuffled SCP lists
-get O(1) random access to label records; names are matched HTK-style where a
-leading ``*/`` wildcard matches any directory prefix.
+get O(1) random access to label records, with the full LabelContainer
+wildcard semantics (MlfStream.cc:40-264):
+
+  * names whose only wildcard is a leading ``*`` live in a hash keyed by
+    directory depth (count of path separators, MlfStream.cc:22-37); a
+    query is matched deepest-first by cropping it to its last N path
+    components prefixed with ``*`` (FindInHash, MlfStream.cc:96-195);
+  * names with general wildcards (``*?%`` past position 0) live in a
+    sequential list matched by the HTK glob (ProcessMask); on a hash hit
+    the list is still scanned, limited to patterns inserted EARLIER than
+    the hashed record, which therefore take precedence (Find,
+    MlfStream.cc:247-264);
+  * inserting a non-wildcard name already covered by an earlier pattern
+    is a no-op (Insert, MlfStream.cc:78-86).
 """
 
 from __future__ import annotations
@@ -11,11 +23,28 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Optional, Tuple
 
+_MAX_DEPTH = 1 << 30          # MAX_LABEL_DEPTH analog
+_WILDCARDS = set("*?%")
+
 
 def _strip_quotes(s: str) -> str:
     if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
         return s[1:-1]
     return s
+
+
+def _glob_match(logical: str, mask: str) -> bool:
+    from .htk import process_mask
+    try:
+        process_mask(logical, mask)
+        return True
+    except ValueError:
+        return False
+
+
+def _dir_depth(label: str) -> int:
+    """Count of path separators (MlfStream.cc:22-37)."""
+    return sum(1 for c in label if c in "/\\")
 
 
 class MlfReader:
@@ -40,14 +69,30 @@ class MlfReader:
         first = self._f.readline().decode("utf-8", "replace").strip()
         if first != "#!MLF!#":
             raise ValueError(f"Not an MLF file (missing #!MLF!#): {path}")
-        self._index: Dict[str, int] = {}
+        self._index: Dict[str, Tuple[int, int]] = {}    # name -> (pos, seq)
+        self._patterns: List[Tuple[str, int, int]] = []  # (mask, pos, seq)
+        self._depths = set()
         self._base_index: Dict[str, int] = {}
         self._build_index()
 
+    def _insert(self, name: str, body: int, seq: int) -> None:
+        """LabelContainer::Insert (MlfStream.cc:40-92)."""
+        if _WILDCARDS & set(name[1:]):
+            self._patterns.append((name, body, seq))
+            return
+        depth = _dir_depth(name) if name.startswith("*") else _MAX_DEPTH
+        self._depths.add(depth)
+        # a name already covered by an earlier, more general definition
+        # is not re-inserted (MlfStream.cc:78-86)
+        if self._lookup(name) is None:
+            self._index[name] = (body, seq)
+        base = name.split("/")[-1]
+        self._base_index.setdefault(base, body)
+
     def _build_index(self) -> None:
         f = self._f
+        seq = 0
         while True:
-            pos = f.tell()
             line = f.readline()
             if not line:
                 break
@@ -55,10 +100,8 @@ class MlfReader:
             if s.startswith('"') and s.endswith('"'):
                 name = _strip_quotes(s)
                 body = f.tell()
-                self._index[name] = body
-                base = name.split("/")[-1]
-                # keep first occurrence, matching HTK lookup order
-                self._base_index.setdefault(base, body)
+                self._insert(name, body, seq)
+                seq += 1
                 # skip to terminating '.'
                 while True:
                     l2 = f.readline()
@@ -66,19 +109,66 @@ class MlfReader:
                         break
 
     def names(self) -> List[str]:
-        return list(self._index.keys())
+        return list(self._index.keys()) + [p[0] for p in self._patterns]
+
+    def _find_in_hash(self, name: str) -> Optional[Tuple[int, int]]:
+        """Deepest-first cropped lookup (FindInHash, MlfStream.cc:96-195)."""
+        for depth in sorted(self._depths, reverse=True):
+            if depth == _MAX_DEPTH:
+                hit = self._index.get(name)
+                if hit is not None:
+                    return hit
+                continue
+            if depth == 0:
+                key = "*" + name
+            else:
+                idx = len(name)
+                for _ in range(depth):
+                    idx = max(name.rfind("/", 0, idx),
+                              name.rfind("\\", 0, idx))
+                    if idx < 0:
+                        break
+                if idx < 0:
+                    continue
+                key = "*" + name[idx:]
+            hit = self._index.get(key)
+            if hit is not None:
+                return hit
+        return None
+
+    def _find_in_list(self, name: str,
+                      seq_limit: Optional[int] = None) -> Optional[int]:
+        for mask, pos, seq in self._patterns:
+            if seq_limit is not None and seq >= seq_limit:
+                break
+            if _glob_match(name, mask):
+                return pos
+        return None
+
+    def _lookup(self, name: str) -> Optional[int]:
+        """LabelContainer::Find (MlfStream.cc:247-264): hash hit, but
+        EARLIER list patterns take precedence."""
+        hit = self._find_in_hash(name)
+        if hit is not None:
+            pos, seq = hit
+            early = self._find_in_list(name, seq_limit=seq)
+            return early if early is not None else pos
+        return self._find_in_list(name)
 
     def _find(self, name: str) -> Optional[int]:
-        if name in self._index:
-            return self._index[name]
+        pos = self._lookup(name)
+        if pos is not None:
+            return pos
+        # convenience fallbacks beyond the reference: queries with a
+        # '*/' mask match plain-stored records by basename and vice
+        # versa, and a bare-name query matches a '*/name' record
         base = name.split("/")[-1]
-        # query with wildcard dir ('*/name') or record stored with wildcard
         if name.startswith("*/") and base in self._base_index:
             return self._base_index[base]
-        wild = "*/" + base
-        if wild in self._index:
-            return self._index[wild]
-        if base in self._base_index:
+        hit = self._index.get("*/" + base)
+        if hit is not None:
+            return hit[0]
+        if base != name and base in self._base_index:
             return self._base_index[base]
         return None
 

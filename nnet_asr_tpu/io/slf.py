@@ -154,12 +154,16 @@ class LatticeArchive:
         (what ``SVite -z lat`` produces)
     """
 
-    def __init__(self, path: str, ext: str = "lat"):
+    def __init__(self, path: str, ext: str = "lat",
+                 filter_cmd: Optional[str] = None):
         import os
 
         self.ext = ext
         self.directory = None
         self._mlf = None
+        # HNETFILTER (TMpeCu.cc:288-290): shell command run over each
+        # lattice file, '$' expanded to the filename
+        self.filter_cmd = filter_cmd
         if os.path.isdir(path):
             self.directory = path
         else:
@@ -178,6 +182,11 @@ class LatticeArchive:
         for suffix in (self.ext, self.ext + ".gz"):
             path = os.path.join(self.directory, base + "." + suffix)
             if os.path.exists(path):
+                if self.filter_cmd:
+                    from .htk import stk_open
+                    with stk_open(path, "rt",
+                                  filter_cmd=self.filter_cmd) as f:
+                        return read_slf(f)
                 return read_slf(path)
         raise FileNotFoundError(
             f"No lattice for {logical} in {self.directory} (.{self.ext})")

@@ -64,6 +64,7 @@ def main(argv=None) -> int:
     p_lbl_ext = ui.get_str("SOURCETRANSCEXT", "lab")
     p_lat_dir = ui.get_str("LATTICEDIR")
     p_lat_ext = ui.get_str("LATTICEEXT", "lat")
+    p_net_filter = ui.get_str("HNETFILTER")   # TMpeCu.cc:288-290
     p_source_mmf = ui.get_str("SOURCEMMF")
     p_transform = ui.get_str("FEATURETRANSFORM")
     p_targetmmf = ui.get_str("TARGETMMF")
@@ -120,8 +121,16 @@ def main(argv=None) -> int:
         label_names[idx] = tag
 
     hmms = parse_mmf(p_hmm)
+    # 'auto' on an accelerator MEASURES instead of assuming: through a
+    # high-RTT device tunnel the host numpy engine can beat the device
+    # engine (docs/KERNELS.md); a one-utterance probe below decides
+    probe_pending = False
     if mpe_engine == "auto":
-        mpe_engine = "jax" if jax.default_backend() != "cpu" else "numpy"
+        if jax.default_backend() == "cpu":
+            mpe_engine = "numpy"
+        else:
+            mpe_engine = "numpy"     # start host-side; probe may switch
+            probe_pending = True
     dictionary = None
     if p_dict:
         from ..io.dictionary import read_dictionary
@@ -133,7 +142,7 @@ def main(argv=None) -> int:
                                 word_penalty=word_penalty,
                                 respect_pronun_var=respect_pronvars),
                       engine=mpe_engine, dictionary=dictionary)
-    lattices = LatticeArchive(p_lat_dir, p_lat_ext)
+    lattices = LatticeArchive(p_lat_dir, p_lat_ext, filter_cmd=p_net_filter)
 
     entries = read_scp(p_script) if p_script else []
     for extra in argv[args_parsed:]:
@@ -226,6 +235,30 @@ def main(argv=None) -> int:
         t_decode += time.time() - td
         if gammas is None:
             continue
+        if probe_pending:
+            # one-utterance engine probe: re-run this utterance's FB on
+            # both engines and keep the faster one for the rest of the run
+            probe_pending = False
+            tn = time.time()
+            mpe.compute(lat, log_post, ref_segments, utt_weight=e.weight,
+                        pruning=thresh)
+            tn = time.time() - tn
+            jax_mpe = MpeComputer(hmms, labels_repo.label_map, mpe.cfg,
+                                  engine="jax", dictionary=dictionary)
+            try:
+                jax_mpe.compute(lat, log_post, ref_segments,
+                                utt_weight=e.weight, pruning=thresh)  # compile
+                tj = time.time()
+                jax_mpe.compute(lat, log_post, ref_segments,
+                                utt_weight=e.weight, pruning=thresh)
+                tj = time.time() - tj
+            except Exception:
+                tj = float("inf")
+            if tj < tn:
+                mpe = jax_mpe
+            print(f"[MPEENGINE auto] numpy {tn * 1e3:.1f}ms vs device "
+                  f"{tj * 1e3:.1f}ms per utterance -> "
+                  f"{'jax' if tj < tn else 'numpy'}", flush=True)
         if show_gamma:
             print(f"{e.logical}: avgAcc {avg_acc:.4f}")
 

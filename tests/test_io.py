@@ -261,3 +261,66 @@ def test_feature_nan_scan(tmp_path):
     rd = FeatureReader()
     with pytest.raises(ValueError, match=r"row: 3 col: 2.*bad\.fea"):
         rd.read(str(fn))
+
+
+def test_mlf_wildcard_masks(tmp_path):
+    """Full LabelContainer semantics (MlfStream.cc:40-264): depth-keyed
+    leading-* hash, general ?-glob patterns in a sequential list, and
+    earlier-pattern precedence over later hash insertions."""
+    p = tmp_path / "w.mlf"
+    p.write_text(
+        "#!MLF!#\n"
+        '"*/special?.lab"\n0 100000 pat\n.\n'        # list pattern (has ?)
+        '"*/special1.lab"\n0 100000 hashed\n.\n'     # hashed AFTER pattern
+        '"*/deep/x.lab"\n0 100000 deep2\n.\n'        # depth 2
+        '"*/x.lab"\n0 100000 shallow\n.\n'           # depth 1
+        '"exact/y.lab"\n0 100000 exact\n.\n'         # no wildcard
+        '"*tail.lab"\n0 100000 tail\n.\n'            # depth 0
+    )
+    from nnet_asr_tpu.io.mlf import MlfReader
+    m = MlfReader(str(p))
+    # general glob pattern matches
+    assert m.read_intervals("dir/special7.lab")[0][2] == "pat"
+    # earlier list pattern takes precedence over the later hashed record
+    # (Find: list limited to pre-hash insertions, MlfStream.cc:247-264)
+    assert m.read_intervals("dir/special1.lab")[0][2] == "pat"
+    # deepest-first crop: query with 2+ components prefers the deeper mask
+    assert m.read_intervals("a/deep/x.lab")[0][2] == "deep2"
+    assert m.read_intervals("a/b/x.lab")[0][2] == "shallow"
+    # exact (non-wildcard) names win at MAX depth
+    assert m.read_intervals("exact/y.lab")[0][2] == "exact"
+    # depth-0 '*tail' matches only the full-string tail
+    assert m.read_intervals("tail.lab")[0][2] == "tail"
+    with pytest.raises(KeyError):
+        m.read_block("nothing/matches.here")
+
+
+def test_stk_open_filter_cmd(tmp_path):
+    """HTK filter commands (H*FILTER): '$' expands to the filename
+    (ExpandHtkFilterCmd, Common.cc:203-227)."""
+    import gzip
+
+    from nnet_asr_tpu.io.htk import stk_open
+
+    raw = tmp_path / "data.txt.gz"
+    with gzip.open(raw, "wt") as f:
+        f.write("hello filter\n")
+    with stk_open(str(raw), "rt", filter_cmd="gunzip -c $") as f:
+        assert f.read() == "hello filter\n"
+    # failing filter raises at close (exit-status propagation)
+    with pytest.raises(IOError):
+        with stk_open(str(tmp_path / "missing.gz"), "rt",
+                      filter_cmd="gunzip -c $") as f:
+            f.read()
+
+
+def test_lattice_archive_filter(tmp_path):
+    from nnet_asr_tpu.io.slf import LatticeArchive
+
+    (tmp_path / "u1.lat").write_text(
+        "# rot13'd lattice? no - just plain, filter is 'cat $'\n"
+        "I=0\tt=0.00\nI=1\tt=0.10\nJ=0\tS=0\tE=1\tW=a\ta=0.0\tl=-0.5\n")
+    arch = LatticeArchive(str(tmp_path), "lat", filter_cmd="cat $")
+    lat = arch.get("dir/u1.fea")
+    assert len(lat.nodes) == 2 and len(lat.arcs) == 1
+    assert lat.arcs[0].word == "a"
