@@ -57,6 +57,13 @@ def main(argv=None) -> int:
                     default=float(_env("WEIGHTCOST", "0")))
     ap.add_argument("--weights-dir", default="weights")
     ap.add_argument("--seed", type=int, default=123)
+    # persistent-worker fast path: features transform+shuffle ONCE into
+    # HBM-resident bunch stacks; each epoch is just the drain scans
+    # (train/resident.py). Identical bunch sequence (fixed per-epoch
+    # seed) => same trajectory as the streaming mode; needs the corpus
+    # to fit in device memory.
+    ap.add_argument("--resident", action="store_true",
+                    default=bool(_env("RESIDENT")))
     args = ap.parse_args(argv)
 
     for req in ("nn_init", "mlf_train", "mlf_cv", "scp_train", "scp_cv",
@@ -112,6 +119,36 @@ def main(argv=None) -> int:
         start_halving_inc=args.start_halving_inc,
         end_halving_inc=args.end_halving_inc,
         halving_factor=args.halving_factor)
+    if args.resident:
+        from .. import enable_compilation_cache
+        enable_compilation_cache()
+        from ..io.labels import LabelRepository
+        from ..io.scp import read_scp
+        from ..models.network import Network
+        from ..train.resident import ResidentNewbob
+        from ..train.sgd import SgdConfig
+        from ..train.trainer import TrainerConfig
+
+        from ..io.htk import FeatureReader
+        reader = FeatureReader(start_frm_ext=args.frm_ext,
+                               end_frm_ext=args.frm_ext)
+        labels_repo = LabelRepository(args.mlf_train, args.phonelist,
+                                      "*/", "lab")
+        transform = (Network.read(args.feature_transform)
+                     if args.feature_transform else None)
+        tcfg = TrainerConfig(
+            bunchsize=args.bunchsize, cachesize=args.cachesize,
+            seed=args.seed, randomize=True,
+            sgd=SgdConfig(learning_rate=args.learnrate,
+                          momentum=args.momentum,
+                          weightcost=args.weightcost))
+        cv_repo = (labels_repo if args.mlf_cv == args.mlf_train else
+                   LabelRepository(args.mlf_cv, args.phonelist, "*/", "lab"))
+        runner = ResidentNewbob(args.nn_init, transform, reader,
+                                labels_repo, tcfg, args.frm_ext)
+        runner.prepare(read_scp(args.scp_train), read_scp(args.scp_cv),
+                       cv_labels_repo=cv_repo)
+        train_epoch, crossvalidate = runner.train_epoch, runner.crossvalidate
     best, st = run_newbob(cfg, args.nn_init, args.weights_dir,
                           train_epoch, crossvalidate)
     print(f"Best model: {best} (CV {st.accu_best:.4f}%, "

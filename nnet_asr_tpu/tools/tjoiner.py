@@ -3,8 +3,16 @@
 
 Joins features in SCP order into large files (an HDD seek optimization in
 2012; still useful for network filesystems feeding TPU pods) and emits a
-new SCP whose entries address the archives with ``[s,e]`` frame ranges —
-the range syntax FeatureRepository understands (Features.cc:1045-1056).
+new SCP whose entries address the archives with ``[s,e]`` frame ranges.
+
+Reference semantics (TJoiner.cc:232-330): each segment is read through
+the FULL feature pipeline (frame extension, parmkind conversion, CMN/CVN
+— so archives store the ext margins and the SCP range points at the true
+segment: ``[pos+start_ext, pos+rows-end_ext-1]``), NaN/Inf segments are
+skipped with a warning, a NaN separator frame sits between segments (a
+canary: reading past the stored margins trips the NaN checks), archives
+roll at TARGETSIZE frames and are written with TARGETKIND (ANON keeps the
+source kind) — including ``_C`` re-compression via write_htk_file.
 """
 
 from __future__ import annotations
@@ -12,14 +20,19 @@ from __future__ import annotations
 import os
 import sys
 
+import numpy as np
+
 from ..io import htk
 from ..io.scp import read_scp
 from ..utils.config import UserInterface
 
 OPTION_STRING = (
+    " -l r   TARGETPARAMDIR"
+    " -y r   TARGETPARAMEXT"
+    " -D n   PRINTCONFIG=TRUE"
     " -S l   SCRIPT"
     " -T r   TRACE"
-    " -D n   PRINTCONFIG=TRUE"
+    " -V n   PRINTVERSION=TRUE"
 )
 
 SNAME = "TJOINER"
@@ -30,58 +43,87 @@ def main(argv=None) -> int:
     ui = UserInterface()
     ui.parse_options(argv, OPTION_STRING, SNAME)
 
+    reader, feaparams = ui.make_feature_reader()
     p_script = ui.get_str("SCRIPT")
     p_outdir = ui.get_str("TARGETPARAMDIR", ".")
-    p_outscp = ui.get_str("TARGETSCRIPT")
-    max_mb = ui.get_flt("MAXFILESIZE", 512.0)  # per-archive cap in MB
-    prefix = ui.get_str("PREFIX", "joined")
+    p_ext = ui.get_str("TARGETPARAMEXT", "fea_join")
+    # OUTPUTSCRIPT is the reference name (TJoiner.cc:161); TARGETSCRIPT
+    # kept as an alias for round-1 scripts
+    p_outscp = ui.get_str("OUTPUTSCRIPT") or ui.get_str("TARGETSCRIPT")
+    target_size = ui.get_int("TARGETSIZE", 20000)
+    dir_strip = ui.get_bool("DIRSTRIP", True)
+    ui.get_int("TRACE", 0)
+    if ui.get_bool("PRINTCONFIG", False):
+        ui.print_config()
     ui.check_command_line_param_use()
 
     if p_script is None:
         raise SystemExit("Script file must be specified [-S]")
     if p_outscp is None:
-        raise SystemExit("Target script must be specified [--TARGETSCRIPT]")
+        raise SystemExit("Output script must be specified [--OUTPUTSCRIPT]")
     os.makedirs(p_outdir, exist_ok=True)
+
+    ext0 = feaparams["start_frm_ext"]
+    ext1 = feaparams["end_frm_ext"]
+    target_kind = feaparams["target_kind"]
 
     entries = read_scp(p_script)
     out_lines = []
-    archive_idx = 0
-    cur = None          # (file handle, path, frames_written, dim, kind, period)
+    buffer = []            # segment matrices with NaN separator rows
+    pos_buf = 0            # rows buffered (incl. separators)
+    ctr = 1
 
-    def open_archive(dim, kind, period):
-        nonlocal archive_idx
-        path = os.path.join(p_outdir, f"{prefix}{archive_idx:04d}.fea")
-        archive_idx += 1
-        f = open(path, "wb")
-        f.write(htk.HtkHeader(0, period, dim * 4, kind).pack(True))
-        return [f, path, 0, dim, kind, period]
+    def file_out():
+        return os.path.join(p_outdir, f"{ctr:06d}.{p_ext}")
 
-    def close_archive(cur):
-        f, path, n, dim, kind, period = cur
-        f.seek(0)
-        f.write(htk.HtkHeader(n, period, dim * 4, kind).pack(True))
-        f.close()
+    def write_kind():
+        if target_kind != htk.PARMKIND_ANON:
+            return target_kind
+        return reader.last_header.sample_kind
 
-    max_frames_bytes = max_mb * 1024 * 1024
+    def logical_name(logical):
+        if dir_strip and "/" in logical:
+            return logical.rsplit("/", 1)[1]
+        return logical
+
+    n_joined = 0
     for e in entries:
-        data, hdr = htk.read_htk_file(e.physical)
-        if (cur is None or cur[3] != data.shape[1] or cur[4] != hdr.sample_kind
-                or cur[2] * cur[3] * 4 + data.nbytes > max_frames_bytes):
-            if cur is not None:
-                close_archive(cur)
-            cur = open_archive(data.shape[1], hdr.sample_kind,
-                               hdr.sample_period)
-        start = cur[2]
-        cur[0].write(data.astype(">f4").tobytes())
-        cur[2] += data.shape[0]
-        out_lines.append(
-            f"{e.logical}={cur[1]}[{start},{cur[2] - 1}]")
-    if cur is not None:
-        close_archive(cur)
+        mat = reader.read(e.physical, e.logical)
+        if not np.isfinite(mat).all():
+            print(f"WARNING: Skipping:{e.logical}\nIt contains nan or "
+                  f"inf!!!", file=sys.stderr)
+            continue
+        rows = mat.shape[0]
+        name = logical_name(e.logical)
+        if pos_buf + 1 + rows >= target_size:
+            # flush: buffer + this segment become one archive
+            out_lines.append(f"{name}={file_out()}"
+                             f"[{pos_buf + ext0},{pos_buf + rows - ext1 - 1}]")
+            mat_out = np.concatenate(buffer + [mat], axis=0) \
+                if buffer else mat
+            htk.write_htk_file(file_out(), mat_out, write_kind(),
+                               reader.last_header.sample_period)
+            ctr += 1
+            buffer, pos_buf = [], 0
+        else:
+            out_lines.append(f"{name}={file_out()}"
+                             f"[{pos_buf + ext0},{pos_buf + rows - ext1 - 1}]")
+            sep = np.full((1, mat.shape[1]), np.nan, np.float32)
+            buffer.extend([mat, sep])
+            pos_buf += rows + 1
+        n_joined += 1
+
+    if pos_buf > 0:
+        # drop the trailing separator (TJoiner.cc:314-316)
+        mat_out = np.concatenate(buffer, axis=0)[:pos_buf - 1]
+        htk.write_htk_file(file_out(), mat_out, write_kind(),
+                           reader.last_header.sample_period)
+    else:
+        ctr -= 1
 
     with open(p_outscp, "w") as f:
         f.write("\n".join(out_lines) + "\n")
-    print(f"TJoiner: {len(entries)} files -> {archive_idx} archives")
+    print(f"TJoiner: {n_joined} files -> {ctr} archives")
     return 0
 
 

@@ -80,18 +80,23 @@ def init_momentum(net: Network, momentum: float = 1.0) -> List[dict]:
 
 def apply_updates(net: Network, params: List[dict], velocity: List[dict],
                   grads: List[dict], cfg: SgdConfig, n_frames: jnp.ndarray,
-                  factors: Sequence[float]):
+                  factors: Sequence[float],
+                  learning_rate: Optional[jnp.ndarray] = None):
     """One SGD step. Pure: returns (new_params, new_velocity).
 
     grads are *sums* over the bunch (the reference's X^T E convention).
+    ``learning_rate`` optionally overrides cfg.learning_rate as a RUNTIME
+    scalar — newbob halves the rate between epochs, and a traced value
+    keeps one compiled program across the whole schedule.
     """
     new_params: List[dict] = []
     new_vel: List[dict] = []
     n_frames = jnp.asarray(n_frames, jnp.float32)
+    base_lr = cfg.learning_rate if learning_rate is None else learning_rate
     for spec, p, v, g, f in zip(net.specs, params, velocity, grads, factors):
         np_, nv_ = dict(p), dict(v)
         if spec.updatable and f != 0.0:
-            lr = cfg.learning_rate * f
+            lr = base_lr * f
             N = n_frames if cfg.grad_div_frm else jnp.asarray(1.0, jnp.float32)
             if cfg.momentum != 0.0:
                 N = N * (1.0 / (1.0 - cfg.momentum))

@@ -74,6 +74,11 @@ class Trainer:
         self.total_frames = 0
         self.wall = 0.0
         self._accs = []
+        # runtime learning rate (newbob halving without recompiles)
+        self._lr = jnp.float32(cfg.sgd.learning_rate)
+
+    def set_learning_rate(self, lr: float) -> None:
+        self._lr = jnp.float32(lr)
 
     # ------------------------------------------------------------------
     def _split_head(self):
@@ -155,12 +160,15 @@ class Trainer:
         net = self.net
         sgd_cfg = cfg.sgd
 
-        def train_step(params, velocity, acc, feats, labels):
+        def train_step(params, velocity, acc, feats, labels, lr=None):
+            # ``lr`` (runtime scalar) overrides the compile-time rate:
+            # newbob halves the rate between epochs and a traced value
+            # keeps one compiled program across the schedule
             (_, stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, feats, labels)
             params, velocity = apply_updates(
                 net, params, velocity, grads, sgd_cfg,
-                feats.shape[0], factors)
+                feats.shape[0], factors, learning_rate=lr)
             acc = {k: acc[k] + stats[k] for k in acc}
             return params, velocity, acc
 
@@ -179,10 +187,11 @@ class Trainer:
         def _unroll(n_bunches):
             return max(1, min(8, n_bunches))
 
-        def drain_train(params, velocity, acc, feats_all, labels_all):
+        def drain_train(params, velocity, acc, feats_all, labels_all,
+                        lr=None):
             def body(carry, batch):
                 p, v, a = carry
-                p, v, a = train_step(p, v, a, batch[0], batch[1])
+                p, v, a = train_step(p, v, a, batch[0], batch[1], lr)
                 return (p, v, a), None
             (params, velocity, acc), _ = jax.lax.scan(
                 body, (params, velocity, acc), (feats_all, labels_all),
@@ -246,7 +255,8 @@ class Trainer:
                 acc = self._drain_eval(self.params, acc, feats_all, labels_all)
             else:
                 self.params, self.velocity, acc = self._drain_train(
-                    self.params, self.velocity, acc, feats_all, labels_all)
+                    self.params, self.velocity, acc, feats_all, labels_all,
+                    self._lr)
         self._accs.append(acc)
 
     def _flush_acc(self) -> None:

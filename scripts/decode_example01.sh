@@ -9,6 +9,11 @@
 # Usage: decode_example01.sh <trained_mmf> [outdir]
 set -e
 
+# this script pins PYTHONPATH=/root/repo (no axon plugin), so an ambient
+# JAX_PLATFORMS=axon would break tfeacat; default to CPU, override with
+# NNET_DECODE_PLATFORM
+export JAX_PLATFORMS=${NNET_DECODE_PLATFORM:-cpu}
+
 NNET=${1:?usage: decode_example01.sh <trained_mmf> [outdir]}
 D=${2:-/tmp/decode_ex01}
 EX=/root/reference/examples/01test_MLP3_compare_multithread_cuda_decode_phn

@@ -7,6 +7,10 @@
 #
 # Usage: mpe_example01.sh <trained_mmf> [n_utts] [iters]
 set -e
+
+# pinned PYTHONPATH drops the axon plugin; an ambient JAX_PLATFORMS=axon
+# would break; default CPU, override with NNET_DECODE_PLATFORM
+export JAX_PLATFORMS=${NNET_DECODE_PLATFORM:-cpu}
 NNET=${1:?usage: mpe_example01.sh <trained_mmf> [n_utts] [iters]}
 N=${2:-10}
 ITERS=${3:-3}

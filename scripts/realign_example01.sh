@@ -7,6 +7,10 @@
 # Usage: realign_example01.sh <trained_mmf> [outdir]
 set -e
 
+# pinned PYTHONPATH drops the axon plugin; an ambient JAX_PLATFORMS=axon
+# would break; default CPU, override with NNET_DECODE_PLATFORM
+export JAX_PLATFORMS=${NNET_DECODE_PLATFORM:-cpu}
+
 NNET=${1:?usage: realign_example01.sh <trained_mmf> [outdir]}
 D=${2:-/tmp/realign_ex01}
 EX=/root/reference/examples/01test_MLP3_compare_multithread_cuda_decode_phn

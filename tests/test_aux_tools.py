@@ -210,3 +210,61 @@ def test_netjoin_and_bottleneck_trim(tmp_path):
                         str(tmp_path / "b.mmf")])
     net2 = Network.read(trimmed)
     assert net2.n_outputs == 6
+
+
+def test_tjoiner_frame_ext_and_separators(tmp_path):
+    """Reference TJoiner semantics (TJoiner.cc:232-330): archives store
+    the ext margins, SCP ranges point at the true segment, NaN separator
+    frames sit between segments, and reading back with the same FRM_EXT
+    reproduces the extended matrix without touching a separator."""
+    rng = np.random.default_rng(3)
+    utts = [rng.standard_normal((12 + i, 4)).astype(np.float32)
+            for i in range(3)]
+    scp_lines = []
+    for i, x in enumerate(utts):
+        p = str(tmp_path / f"u{i}.fea")
+        htk.write_htk_file(p, x, htk.PARMKIND_USER)
+        scp_lines.append(p)
+    (tmp_path / "in.scp").write_text("\n".join(scp_lines) + "\n")
+    outscp = tmp_path / "out.scp"
+    tjoiner.main(["tjoiner", "-S", str(tmp_path / "in.scp"),
+                  "--TARGETPARAMDIR=" + str(tmp_path / "joined"),
+                  "--OUTPUTSCRIPT=" + str(outscp),
+                  "--STARTFRMEXT=2", "--ENDFRMEXT=2"])
+    entries = read_scp(str(outscp))
+    assert len(entries) == 3
+    rd = htk.FeatureReader(start_frm_ext=2, end_frm_ext=2)
+    rd_plain = htk.FeatureReader()
+    for e, x in zip(entries, utts):
+        # plain range read gives the true segment
+        np.testing.assert_allclose(rd_plain.read(e.physical, e.logical), x,
+                                   rtol=1e-6)
+        # ext read pulls the STORED margins (replicated edges), not NaNs
+        got = rd.read(e.physical, e.logical)
+        assert got.shape[0] == x.shape[0] + 4
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got[2:-2], x, rtol=1e-6)
+    # raw archive contains NaN separators between segments
+    raw, _ = htk.read_htk_file(str(tmp_path / "joined" / "000001.fea_join"))
+    assert np.isnan(raw).any()
+
+
+def test_tjoiner_targetsize_rolls_archives(tmp_path):
+    rng = np.random.default_rng(4)
+    scp_lines = []
+    for i in range(4):
+        p = str(tmp_path / f"u{i}.fea")
+        htk.write_htk_file(p, rng.standard_normal((10, 2)).astype(np.float32),
+                           htk.PARMKIND_USER)
+        scp_lines.append(p)
+    (tmp_path / "in.scp").write_text("\n".join(scp_lines) + "\n")
+    outscp = tmp_path / "o.scp"
+    tjoiner.main(["tjoiner", "-S", str(tmp_path / "in.scp"),
+                  "--TARGETPARAMDIR=" + str(tmp_path / "j"),
+                  "--OUTPUTSCRIPT=" + str(outscp), "--TARGETSIZE=25"])
+    import os
+    archives = sorted(os.listdir(tmp_path / "j"))
+    assert len(archives) == 2
+    for e in read_scp(str(outscp)):
+        got = htk.FeatureReader().read(e.physical, e.logical)
+        assert got.shape == (10, 2)

@@ -1,0 +1,93 @@
+"""Resident (persistent-worker) newbob mode: byte-identical trajectory to
+the streaming per-epoch scheduler (same seed => same bunch sequence; MMF
+round-trips are exact)."""
+
+import contextlib
+import io
+import os
+import re
+
+import numpy as np
+import pytest
+
+from nnet_asr_tpu.io import htk
+from nnet_asr_tpu.io.mlf import MlfWriter
+from nnet_asr_tpu.tools import gen_mlp_init, scheduler
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("resident")
+    rng = np.random.default_rng(0)
+    dim, n_out = 6, 4
+    (tmp / "phones.map").write_text(
+        "\n".join(f"p{i}" for i in range(n_out)))
+    mlf = MlfWriter(str(tmp / "labels.mlf"))
+    train_lines, cv_lines = [], []
+    for u in range(14):
+        T = int(rng.integers(30, 70))
+        labels = rng.integers(0, n_out, T)
+        feats = (np.eye(dim, dtype=np.float32)[labels % dim] * 2.0
+                 + 0.3 * rng.standard_normal((T, dim)).astype(np.float32))
+        p = str(tmp / f"u{u}.fea")
+        htk.write_htk_file(p, feats, htk.PARMKIND_USER)
+        mlf.write_record(f"*/u{u}.lab", [
+            f"{t * 100000} {(t + 1) * 100000} p{l}"
+            for t, l in enumerate(labels)])
+        (train_lines if u < 10 else cv_lines).append(p)
+    mlf.close()
+    (tmp / "train.scp").write_text("\n".join(train_lines) + "\n")
+    (tmp / "cv.scp").write_text("\n".join(cv_lines) + "\n")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        gen_mlp_init.main([f"--dim={dim}:8:{n_out}", "--gauss", "--negbias",
+                           "--seed=5"])
+    (tmp / "init.mmf").write_text(buf.getvalue())
+    return tmp
+
+
+def _run(tmp, mode_flag, weights_dir):
+    argv = [
+        "--nn-init=" + str(tmp / "init.mmf"),
+        "--mlf-train=" + str(tmp / "labels.mlf"),
+        "--mlf-cv=" + str(tmp / "labels.mlf"),
+        "--scp-train=" + str(tmp / "train.scp"),
+        "--scp-cv=" + str(tmp / "cv.scp"),
+        "--phonelist=" + str(tmp / "phones.map"),
+        "--learnrate=0.5", "--bunchsize=32", "--cachesize=128",
+        "--max-iter=4", "--momentum=0.4", "--weightcost=1e-5",
+        "--weights-dir=" + str(weights_dir),
+    ] + ([mode_flag] if mode_flag else [])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scheduler.main(argv)
+    return buf.getvalue()
+
+
+def test_resident_matches_streaming(corpus, tmp_path):
+    out_s = _run(corpus, None, tmp_path / "w_stream")
+    out_r = _run(corpus, "--resident", tmp_path / "w_res")
+
+    # identical newbob decision sequence and accuracies
+    def history(out):
+        return re.findall(r"(TR|CV) accuracy:\s*([\d.]+) iter: (\d+)", out)
+    assert history(out_r) == history(out_s)
+    assert ("Best model" in out_r) and ("Best model" in out_s)
+
+    # byte-identical accepted weights at every iteration
+    names_s = sorted(os.listdir(tmp_path / "w_stream"))
+    names_r = sorted(os.listdir(tmp_path / "w_res"))
+    assert names_s == names_r
+    for n in names_s:
+        a = (tmp_path / "w_stream" / n).read_text()
+        b = (tmp_path / "w_res" / n).read_text()
+        assert a == b, f"weights differ: {n}"
+
+
+def test_resident_lr_runtime_scalar(corpus, tmp_path):
+    """Newbob halving in resident mode must not change program identity:
+    set_learning_rate only swaps a scalar operand."""
+    out = _run(corpus, "--resident", tmp_path / "w")
+    lrs = set(re.findall(r"learnrate: ([\d.e-]+)", out))
+    assert len(lrs) >= 1
+    assert "(resident)" in out
