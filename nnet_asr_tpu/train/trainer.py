@@ -51,6 +51,10 @@ class TrainerConfig:
     # CONFUSIONMODE: no|max|soft|dmax|dsoft (ObjFun.cc:132-155) —
     # accumulated on device as label^T @ {onehot(pred) | posteriors}
     confusion_mode: str = "no"
+    # drain-scan partial unroll: lets XLA pipeline step k+1's weight/input
+    # loads behind step k's compute (measured: the difference between
+    # 105 and 150+ TFLOP/s at production shapes — docs/KERNELS.md)
+    scan_unroll: int = 8
 
     def pallas_enabled(self) -> bool:
         if self.use_pallas is not None:
@@ -185,7 +189,7 @@ class Trainer:
         # XLA overlap each bunch's input slice with the previous bunch's
         # compute (~15% step time on the MLP3 workload).
         def _unroll(n_bunches):
-            return max(1, min(8, n_bunches))
+            return max(1, min(cfg.scan_unroll, n_bunches))
 
         def drain_train(params, velocity, acc, feats_all, labels_all,
                         lr=None):

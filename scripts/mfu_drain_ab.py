@@ -1,0 +1,105 @@
+"""Steady-state drain throughput A/B at production shapes (VERDICT #3).
+
+Run on the TPU:
+  PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/mfu_drain_ab.py \
+      --config unroll8
+
+Measures the REAL production path — Trainer._drain_train over stacked
+bunches, donated state, fori_loop mega-window on device, one scalar
+fetch per window — for one named configuration per invocation (each is
+a fresh process so XLA programs don't accumulate HBM).
+
+Configs: unroll1 unroll4 unroll8 unroll16 pallas (fused affine+sigmoid
++ fused softmax-CE at 8192 senones) bf16 mom9 (momentum 0.9 velocity
+traffic).
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+PEAK_BF16 = 197e12
+DIMS = [1024, 4096, 4096, 4096, 4096, 8192]
+
+
+def build(dims, seed=0):
+    from nnet_asr_tpu.models import BiasedLinearity, Network, Sigmoid, Softmax
+
+    rng = np.random.default_rng(seed)
+    specs, params = [], []
+    for i in range(len(dims) - 1):
+        specs.append(BiasedLinearity(dims[i], dims[i + 1]))
+        params.append({
+            "weight": (0.05 * rng.standard_normal(
+                (dims[i], dims[i + 1]))).astype(np.float32),
+            "bias": np.zeros(dims[i + 1], np.float32)})
+        if i < len(dims) - 2:
+            specs.append(Sigmoid(dims[i + 1], dims[i + 1]))
+            params.append({})
+    specs.append(Softmax(dims[-1], dims[-1]))
+    params.append({})
+    return Network(tuple(specs), params)
+
+
+def run(config, bunch=1024, nb=8, M=8):
+    import jax
+    import jax.numpy as jnp
+
+    from nnet_asr_tpu.train.sgd import SgdConfig
+    from nnet_asr_tpu.train.trainer import Trainer, TrainerConfig
+
+    unroll = {"unroll1": 1, "unroll4": 4, "unroll16": 16}.get(config, 8)
+    cfg = TrainerConfig(
+        bunchsize=bunch, cachesize=bunch * nb, seed=1, randomize=False,
+        sgd=SgdConfig(learning_rate=0.01,
+                      momentum=0.9 if config == "mom9" else 0.0),
+        use_pallas=(config == "pallas"),
+        compute_dtype="bf16" if config == "bf16" else None,
+        scan_unroll=unroll)
+    net = build(DIMS)
+    tr = Trainer(net, cfg)
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray((0.1 * rng.standard_normal(
+        (nb, bunch, DIMS[0]))).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, DIMS[-1], (nb, bunch)).astype(np.int32))
+    drain = tr._drain_train
+
+    def mega(params, velocity, acc, M):
+        def body(_, c):
+            p, v, a = c
+            return drain(p, v, a, feats, labels)
+        return jax.lax.fori_loop(0, M, body, (params, velocity, acc))
+
+    mega = jax.jit(mega, static_argnums=(3,), donate_argnums=(0, 1, 2))
+    acc = tr._zero_acc()
+    t0 = time.perf_counter()
+    tr.params, tr.velocity, acc = mega(tr.params, tr.velocity, acc, M)
+    float(tr.params[0]["weight"][0, 0])
+    print(f"[compile+warm {time.perf_counter()-t0:.1f}s]", flush=True)
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        tr.params, tr.velocity, acc = mega(tr.params, tr.velocity, acc, M)
+        float(tr.params[0]["weight"][0, 0])
+        best = min(best, (time.perf_counter() - t0) / (M * nb))
+    n_params = sum(DIMS[i] * DIMS[i + 1] for i in range(len(DIMS) - 1))
+    fl = 3 * 2 * n_params * bunch
+    print(f"{config:10s} bunch={bunch}: {best*1e6:6.0f}us/bunch  "
+          f"{fl/best/1e12:6.1f} TFLOP/s ({fl/best/PEAK_BF16*100:4.1f}% "
+          f"of bf16 peak)", flush=True)
+
+
+if __name__ == "__main__":
+    from nnet_asr_tpu import enable_compilation_cache
+    enable_compilation_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="unroll8")
+    ap.add_argument("--bunch", type=int, default=1024)
+    ap.add_argument("--nb", type=int, default=8)
+    ap.add_argument("--M", type=int, default=8)
+    a = ap.parse_args()
+    run(a.config, bunch=a.bunch, nb=a.nb, M=a.M)
