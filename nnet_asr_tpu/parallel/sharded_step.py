@@ -106,14 +106,17 @@ def _find_output_layer(net: Network, objective: str):
 
 
 def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh,
-                            objective: str = "xent"):
+                            objective: str = "xent", scan_unroll: int = 1):
     """Build (state, step_fn, eval_fn, fns) for training on a (data, model)
     mesh.
 
     step_fn(params, velocity, acc, feats, labels) -> (params, velocity, acc)
     with feats sharded P('data', None), labels P('data'); gradient semantics
     identical to the single-chip trainer (sums over the global bunch).
-    ``fns`` additionally holds 'drain_train'/'drain_eval' whole-cache scans.
+    ``fns`` additionally holds 'drain_train'/'drain_eval' whole-cache scans;
+    ``drain_train`` takes an optional runtime ``lr`` scalar (newbob halving
+    without recompiles, as in train.Trainer) and partially unrolls the
+    bunch scan by ``scan_unroll`` (docs/KERNELS.md).
     """
     if objective not in ("xent", "mse"):
         raise ValueError(f"unknown objective {objective!r}")
@@ -215,7 +218,7 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh,
 
     local_loss = gathered_loss if gather_head else softmax_ce_loss
 
-    def _shard_step(params, velocity, acc, feats, labels):
+    def _shard_step(params, velocity, acc, feats, labels, lr=None):
         (_, stats), grads = jax.value_and_grad(
             local_loss, has_aux=True)(params, feats, labels)
         # replicated params: partial grads per (data, model) cell
@@ -225,7 +228,8 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh,
             grads[i] = {k: jax.lax.psum(v, axes) for k, v in grads[i].items()}
         global_frames = labels.shape[0] * d_size
         params, velocity = apply_updates(
-            net, params, velocity, grads, sgd_cfg, global_frames, factors)
+            net, params, velocity, grads, sgd_cfg, global_frames, factors,
+            learning_rate=lr)
         stats = {k: jax.lax.psum(v, "data") for k, v in stats.items()}
         acc = {k: acc[k] + stats[k] for k in acc}
         return params, velocity, acc
@@ -253,25 +257,30 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh,
     # whole-cache drains: lax.scan over stacked bunches (nb, bunch, ...)
     # sharded P(None, 'data', ...) — one XLA program per cache, as in the
     # single-chip trainer
-    def _drain_train_body(params, velocity, acc, feats_all, labels_all):
+    def _unroll(nb):
+        return max(1, min(scan_unroll, nb))
+
+    def _drain_train_body(params, velocity, acc, feats_all, labels_all, lr):
         def body(carry, batch):
             p, v, a = carry
-            p, v, a = _shard_step(p, v, a, batch[0], batch[1])
+            p, v, a = _shard_step(p, v, a, batch[0], batch[1], lr)
             return (p, v, a), None
         (params, velocity, acc), _ = jax.lax.scan(
-            body, (params, velocity, acc), (feats_all, labels_all))
+            body, (params, velocity, acc), (feats_all, labels_all),
+            unroll=_unroll(feats_all.shape[0]))
         return params, velocity, acc
 
     def _drain_eval_body(params, acc, feats_all, labels_all):
         def body(a, batch):
             return _shard_eval(params, a, batch[0], batch[1]), None
-        acc, _ = jax.lax.scan(body, acc, (feats_all, labels_all))
+        acc, _ = jax.lax.scan(body, acc, (feats_all, labels_all),
+                              unroll=_unroll(feats_all.shape[0]))
         return acc
 
-    drain_train = shard_map(
+    drain_train_sm = shard_map(
         _drain_train_body, mesh=mesh,
         in_specs=(param_specs, vel_specs, acc_spec,
-                  P(None, "data", None), P(None, "data")),
+                  P(None, "data", None), P(None, "data"), P()),
         out_specs=(param_specs, vel_specs, acc_spec),
         check_vma=False)
     drain_eval = shard_map(
@@ -280,6 +289,14 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh,
                   P(None, "data", None), P(None, "data")),
         out_specs=acc_spec,
         check_vma=False)
+
+    def drain_train(params, velocity, acc, feats_all, labels_all, lr=None):
+        # runtime lr scalar (replicated): newbob halves the rate between
+        # epochs and a traced value keeps one compiled program
+        if lr is None:
+            lr = jnp.float32(sgd_cfg.learning_rate)
+        return drain_train_sm(params, velocity, acc, feats_all, labels_all,
+                              jnp.asarray(lr, jnp.float32))
 
     fns = {
         "step": jax.jit(step, donate_argnums=(0, 1, 2)),

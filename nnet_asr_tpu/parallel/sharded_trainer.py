@@ -63,8 +63,10 @@ class ShardedTrainer:
         self.pipeline = TransformPipeline(transform, start_frm_ext, end_frm_ext)
         self.state, self._step, self._eval, self._fns = \
             make_sharded_train_step(net, cfg.sgd, mesh,
-                                    objective=cfg.objective)
+                                    objective=cfg.objective,
+                                    scan_unroll=cfg.scan_unroll)
         self.state.to_device(mesh)
+        self._lr = jnp.float32(cfg.sgd.learning_rate)
         self.stats = XentStats() if cfg.objective == "xent" else MseStats()
         self.total_frames = 0
         self.wall = 0.0
@@ -91,6 +93,31 @@ class ShardedTrainer:
     @property
     def params(self):
         return self.state.params
+
+    def set_learning_rate(self, lr: float) -> None:
+        self._lr = jnp.float32(lr)
+
+    def reload_params(self, host_params: List[dict]) -> None:
+        """Replace params from host arrays (true senone count), re-padding
+        and re-placing with the state's shardings; velocity resets to zero
+        (the reference's per-epoch optimizer-state lifetime,
+        Platform.h:143-197). The resident newbob's per-epoch reload."""
+        st = self.state
+        padded = []
+        for i, p in enumerate(host_params):
+            p = {k: np.asarray(v) for k, v in p.items()}
+            if i == st.out_idx and st.n_out_pad != st.n_out:
+                pad = st.n_out_pad - st.n_out
+                p["weight"] = np.pad(p["weight"], ((0, 0), (0, pad)))
+                p["bias"] = np.pad(p["bias"], (0, pad))
+            padded.append(p)
+        st.params = [
+            {k: jax.device_put(v, NamedSharding(self.mesh, st.param_specs[i][k]))
+             for k, v in p.items()}
+            for i, p in enumerate(padded)]
+        st.velocity = [
+            {k: jnp.zeros_like(v) for k, v in p.items() if k in vel}
+            for p, vel in zip(st.params, st.velocity)]
 
     # -- drain ----------------------------------------------------------
     def _globalize(self, feats_all, labels_all):
@@ -120,7 +147,8 @@ class ShardedTrainer:
         else:
             self.state.params, self.state.velocity, acc = \
                 self._fns["drain_train"](self.state.params,
-                                         self.state.velocity, acc, fsh, lsh)
+                                         self.state.velocity, acc, fsh, lsh,
+                                         self._lr)
         # per-cache stats stay on device until epoch end (no mid-epoch
         # host sync); merged per cache in f64, like train.Trainer
         self._accs.append(acc)

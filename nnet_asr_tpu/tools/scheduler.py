@@ -64,6 +64,14 @@ def main(argv=None) -> int:
     # to fit in device memory.
     ap.add_argument("--resident", action="store_true",
                     default=bool(_env("RESIDENT")))
+    # device mesh 'DxM' (e.g. 4x2): streaming mode forwards --MESH to tnet;
+    # resident mode shards the HBM-cached stacks over the data axis and
+    # runs the sharded drains — the two fast modes compose
+    ap.add_argument("--mesh", default=_env("MESH"))
+    # resident HBM budget in MiB: stacks beyond it park on the host and
+    # stream H2D once per epoch (partial residency, train/resident.py)
+    ap.add_argument("--hbm-budget-mb", type=float,
+                    default=float(_env("HBM_BUDGET_MB", "0")) or None)
     args = ap.parse_args(argv)
 
     for req in ("nn_init", "mlf_train", "mlf_cv", "scp_train", "scp_cv",
@@ -84,6 +92,8 @@ def main(argv=None) -> int:
     ]
     if args.feature_transform:
         common.append("--FEATURETRANSFORM=" + args.feature_transform)
+    if args.mesh and not args.resident:
+        common.append("--MESH=" + args.mesh)
 
     def parse_accu(log: str) -> float:
         hits = re.findall(r"correct\[([\d.]+)%\]", log)
@@ -144,8 +154,17 @@ def main(argv=None) -> int:
                           weightcost=args.weightcost))
         cv_repo = (labels_repo if args.mlf_cv == args.mlf_train else
                    LabelRepository(args.mlf_cv, args.phonelist, "*/", "lab"))
+        mesh = None
+        if args.mesh:
+            from ..parallel.mesh import make_mesh
+
+            d, _, m = args.mesh.lower().partition("x")
+            mesh = make_mesh(data=int(d), model=int(m) if m else 1)
+        budget = (int(args.hbm_budget_mb * 1024 * 1024)
+                  if args.hbm_budget_mb else None)
         runner = ResidentNewbob(args.nn_init, transform, reader,
-                                labels_repo, tcfg, args.frm_ext)
+                                labels_repo, tcfg, args.frm_ext,
+                                mesh=mesh, hbm_budget_bytes=budget)
         runner.prepare(read_scp(args.scp_train), read_scp(args.scp_cv),
                        cv_labels_repo=cv_repo)
         train_epoch, crossvalidate = runner.train_epoch, runner.crossvalidate

@@ -98,6 +98,9 @@ def main(argv=None) -> int:
     p_resume = ui.get_str("RESUMESTATE")
     p_save = ui.get_str("SAVESTATE")
     p_jaxprofile = ui.get_str("JAXPROFILE")
+    # drain-scan partial unroll (perf knob, docs/KERNELS.md): lets XLA
+    # overlap bunch k+1's input slice with bunch k's compute
+    scan_unroll = ui.get_int("SCANUNROLL", 8)
     ui.check_command_line_param_use()
 
     if p_script is None:
@@ -139,7 +142,7 @@ def main(argv=None) -> int:
         sgd=SgdConfig(learning_rate=learning_rate, momentum=momentum,
                       weightcost=weightcost, l1=l1, grad_div_frm=grad_div_frm,
                       lr_factors=SgdConfig.parse_factors(lr_factors)),
-        trace=trace, confusion_mode=confusion_mode)
+        trace=trace, confusion_mode=confusion_mode, scan_unroll=scan_unroll)
     if mesh_spec or _jax.process_count() > 1:
         from ..parallel.mesh import make_mesh
         from ..parallel.sharded_trainer import ShardedTrainer

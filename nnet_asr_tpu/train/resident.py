@@ -11,17 +11,28 @@ later epoch is nothing but the fused drain scans:
 
     read + transform + shuffle ONCE  →  (nb, bunch, D) stacks in HBM
     per epoch: reload params from the newbob-selected MMF, reset momentum
-    (the reference's per-process optimizer state), run drain_train over
-    the cached stacks with the epoch's learning rate as a RUNTIME scalar
-    (no recompiles across newbob halving), write the epoch MMF.
+    (the reference's per-process optimizer state, Platform.h:143-197),
+    run drain_train over the cached stacks with the epoch's learning rate
+    as a RUNTIME scalar (no recompiles across newbob halving), write the
+    epoch MMF.
 
 Bit-equivalence with the streaming path holds because the MMF writer
 round-trips float32 exactly (9 significant digits, docs/DEVIATIONS.md §4)
 and the drain programs are the same XLA computations.
 
-Memory bound: the whole (transformed) training set must fit in HBM —
-131 MB for example-01; fall back to the streaming scheduler for corpora
-beyond device memory.
+Composition with the device mesh (round 3): pass ``mesh`` and the stacks
+live SHARDED in HBM (``P(None, 'data', None)`` — each chip holds only its
+batch stripe) while params/velocity ride the ShardedTrainState shardings;
+every epoch runs the sharded drain scans (parallel/sharded_step.py), so
+the two fastest modes — resident intake amortization and multi-chip
+compute — stack.
+
+Memory bound + partial-residency fallback: by default the whole
+(transformed) training set must fit in HBM (131 MB for example-01). With
+``hbm_budget_bytes`` set, stacks beyond the budget stay as HOST numpy
+buffers and stream onto the device once per epoch (H2D only — still no
+re-read/re-transform/re-shuffle); the trajectory is bit-identical either
+way because placement timing doesn't change the math.
 """
 
 from __future__ import annotations
@@ -29,38 +40,106 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..models.network import Network
-from ..ops.objectives import XentStats
+from ..ops.objectives import MseStats, XentStats
 from .cache import DeviceFrameCache
 from .pipeline import TransformPipeline
 from .sgd import SgdConfig, init_momentum
 from .trainer import Trainer, TrainerConfig
 
 
+class _Stack:
+    """One cache's stacked bunches: device-resident or host-parked."""
+
+    __slots__ = ("feats", "labels", "on_device")
+
+    def __init__(self, feats, labels, on_device: bool):
+        self.feats = feats
+        self.labels = labels
+        self.on_device = on_device
+
+    @property
+    def nbytes(self) -> int:
+        return self.feats.nbytes + self.labels.nbytes
+
+
 class ResidentNewbob:
-    """Builds newbob train/crossvalidate closures over HBM-cached bunches."""
+    """Builds newbob train/crossvalidate closures over HBM-cached bunches.
+
+    ``mesh``: optional jax.sharding.Mesh — stacks shard over the ``data``
+    axis and epochs run the ShardedTrainer drains (single process only).
+    ``hbm_budget_bytes``: optional cap on resident stack bytes; overflow
+    stacks park on the host and stream per epoch.
+    """
 
     def __init__(self, nn_init: str, transform: Optional[Network],
                  reader, labels_repo, cfg: TrainerConfig,
-                 frm_ext: int = 0):
+                 frm_ext: int = 0, mesh=None,
+                 hbm_budget_bytes: Optional[int] = None):
         self.reader = reader
         self.labels_repo = labels_repo
         self.cfg = cfg
         self.frm_ext = frm_ext
+        self.mesh = mesh
+        self.hbm_budget = hbm_budget_bytes
+        self._resident_bytes = 0
+        self._parked_bytes = 0
         self.pipeline = TransformPipeline(transform, frm_ext, frm_ext)
         net0 = Network.read(nn_init)
-        self.trainer = Trainer(net0, cfg, transform, frm_ext, frm_ext)
         self.net_specs = net0.specs
-        self._train_stacks = None
-        self._cv_stacks = None
+        if mesh is not None:
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "resident mesh mode is single-process (use the "
+                    "streaming ShardedTrainer for multi-host fleets)")
+            from ..parallel.sharded_trainer import ShardedTrainer
+
+            self.trainer = ShardedTrainer(net0, cfg, mesh, transform,
+                                          frm_ext, frm_ext)
+            self._feats_sh = self.trainer._feats_sh
+            self._labels_sh = self.trainer._labels_sh
+        else:
+            self.trainer = Trainer(net0, cfg, transform, frm_ext, frm_ext)
+            self._feats_sh = self._labels_sh = None
+        self._train_stacks: List[_Stack] = []
+        self._cv_stacks: List[_Stack] = []
         self.train_frames = 0
         self.cv_frames = 0
 
+    # -- placement --------------------------------------------------------
+    def _admit(self, stacked) -> _Stack:
+        """Keep a stack resident if the HBM budget allows, else park it on
+        the host (partial residency: H2D per epoch, no re-intake)."""
+        feats, labels = stacked
+        nbytes = feats.nbytes + labels.nbytes
+        fits = (self.hbm_budget is None
+                or self._resident_bytes + nbytes <= self.hbm_budget)
+        if fits:
+            if self.mesh is not None:
+                feats = jax.device_put(feats, self._feats_sh)
+                labels = jax.device_put(labels, self._labels_sh)
+            self._resident_bytes += nbytes
+            return _Stack(feats, labels, on_device=True)
+        st = _Stack(np.asarray(feats), np.asarray(labels), on_device=False)
+        self._parked_bytes += nbytes
+        return st
+
+    def _place(self, st: _Stack):
+        """Per-epoch device placement for host-parked stacks."""
+        if st.on_device:
+            return st.feats, st.labels
+        if self.mesh is not None:
+            return (jax.device_put(st.feats, self._feats_sh),
+                    jax.device_put(st.labels, self._labels_sh))
+        return jnp.asarray(st.feats), jnp.asarray(st.labels)
+
     # -- one-time intake ------------------------------------------------
     def _collect(self, scp_entries, randomize: bool,
-                 batch_utts: int = 32, labels_repo=None) -> Tuple[List, int]:
+                 batch_utts: int = 32,
+                 labels_repo=None) -> Tuple[List[_Stack], int]:
         """Read+transform+shuffle once; return stacked device bunches.
 
         Reproduces Trainer.run_epoch's intake exactly (same seed, same
@@ -69,7 +148,7 @@ class ResidentNewbob:
         """
         cache = DeviceFrameCache(self.cfg.cachesize, self.cfg.bunchsize,
                                  self.cfg.seed, randomize)
-        stacks = []
+        stacks: List[_Stack] = []
         total = 0
         pend_f, pend_l = [], []
 
@@ -84,7 +163,7 @@ class ResidentNewbob:
             while cache.full:
                 stacked = cache.take_stacked()
                 if stacked is not None:
-                    stacks.append(stacked)
+                    stacks.append(self._admit(stacked))
             pend_f.clear()
             pend_l.clear()
 
@@ -102,7 +181,7 @@ class ResidentNewbob:
         if cache.rows > 0:
             stacked = cache.take_stacked()
             if stacked is not None:
-                stacks.append(stacked)
+                stacks.append(self._admit(stacked))
         return stacks, total
 
     def prepare(self, train_entries, cv_entries,
@@ -111,6 +190,11 @@ class ResidentNewbob:
             train_entries, randomize=self.cfg.randomize)
         self._cv_stacks, self.cv_frames = self._collect(
             cv_entries, randomize=False, labels_repo=cv_labels_repo)
+        if self._parked_bytes:
+            print(f"[resident] HBM budget {self.hbm_budget}: "
+                  f"{self._resident_bytes} bytes resident, "
+                  f"{self._parked_bytes} bytes host-parked "
+                  f"(streamed H2D per epoch)", flush=True)
 
     # -- per-epoch closures ----------------------------------------------
     def _load_params(self, mmf: str):
@@ -118,31 +202,59 @@ class ResidentNewbob:
         return [{k: jnp.asarray(v) for k, v in p.items()}
                 for p in net.params]
 
+    def _fresh_stats(self):
+        return (XentStats() if self.cfg.objective == "xent" else MseStats())
+
+    def _merge(self, stats, acc):
+        if self.cfg.objective == "xent":
+            stats.add(float(acc["xent"]), int(acc["frames"]),
+                      int(acc["correct"]))
+        else:
+            stats.add(float(acc["mse"]), int(acc["frames"]))
+
     def train_epoch(self, src: str, lrate: float, dst: str) -> float:
         import time
 
         t0 = time.time()
         tr = self.trainer
-        tr.params = self._load_params(src)
-        # fresh momentum per epoch: the reference's optimizer state lives
-        # and dies within an epoch process (SURVEY.md §5)
-        tr.velocity = init_momentum(Network(self.net_specs, tr.params),
-                                    self.cfg.sgd.momentum)
-        tr.set_learning_rate(lrate)
-        tr.stats = XentStats()
-        acc_total = None
-        for feats_all, labels_all in self._train_stacks:
-            acc = tr._zero_acc()
-            tr.params, tr.velocity, acc = tr._drain_train(
-                tr.params, tr.velocity, acc, feats_all, labels_all, tr._lr)
-            tr._merge_acc(acc)
-        host = [{k: np.asarray(v) for k, v in p.items()} for p in tr.params]
-        Network(self.net_specs, host).write(dst)
-        stats = tr.stats
+        if self.mesh is not None:
+            from ..parallel.sharded_step import zero_acc
+
+            net = Network.read(src)
+            tr.reload_params(net.params)
+            tr.set_learning_rate(lrate)
+            stats = self._fresh_stats()
+            for st in self._train_stacks:
+                feats_all, labels_all = self._place(st)
+                acc = zero_acc(self.cfg.objective)
+                tr.state.params, tr.state.velocity, acc = \
+                    tr._fns["drain_train"](tr.state.params, tr.state.velocity,
+                                           acc, feats_all, labels_all, tr._lr)
+                self._merge(stats, acc)
+            Network(self.net_specs, tr.state.host_params()).write(dst)
+        else:
+            tr.params = self._load_params(src)
+            # fresh momentum per epoch: the reference's optimizer state
+            # lives and dies within an epoch process (SURVEY.md §5)
+            tr.velocity = init_momentum(Network(self.net_specs, tr.params),
+                                        self.cfg.sgd.momentum)
+            tr.set_learning_rate(lrate)
+            stats = self._fresh_stats()
+            for st in self._train_stacks:
+                feats_all, labels_all = self._place(st)
+                acc = tr._zero_acc()
+                tr.params, tr.velocity, acc = tr._drain_train(
+                    tr.params, tr.velocity, acc, feats_all, labels_all,
+                    tr._lr)
+                self._merge(stats, acc)
+            host = [{k: np.asarray(v) for k, v in p.items()}
+                    for p in tr.params]
+            Network(self.net_specs, host).write(dst)
         print(stats.report(), end="")
         fps = self.train_frames / max(time.time() - t0, 1e-9)
         print(f"Done {self.train_frames} frames in {time.time() - t0:.2f}s"
-              f" [FPS:{fps:.1f},RT:{fps / 100.0:.4f}] (resident)")
+              f" [FPS:{fps:.1f},RT:{fps / 100.0:.4f}] (resident"
+              f"{', mesh' if self.mesh is not None else ''})")
         return stats.accuracy
 
     def crossvalidate(self, mmf: str) -> float:
@@ -150,15 +262,28 @@ class ResidentNewbob:
 
         t0 = time.time()
         tr = self.trainer
-        params = self._load_params(mmf)
-        stats = XentStats()
-        for feats_all, labels_all in self._cv_stacks:
-            acc = tr._zero_acc()
-            acc = tr._drain_eval(params, acc, feats_all, labels_all)
-            stats.add(float(acc["xent"]), int(acc["frames"]),
-                      int(acc["correct"]))
+        stats = self._fresh_stats()
+        if self.mesh is not None:
+            from ..parallel.sharded_step import zero_acc
+
+            net = Network.read(mmf)
+            tr.reload_params(net.params)
+            for st in self._cv_stacks:
+                feats_all, labels_all = self._place(st)
+                acc = zero_acc(self.cfg.objective)
+                acc = tr._fns["drain_eval"](tr.state.params, acc,
+                                            feats_all, labels_all)
+                self._merge(stats, acc)
+        else:
+            params = self._load_params(mmf)
+            for st in self._cv_stacks:
+                feats_all, labels_all = self._place(st)
+                acc = tr._zero_acc()
+                acc = tr._drain_eval(params, acc, feats_all, labels_all)
+                self._merge(stats, acc)
         print(stats.report(), end="")
         fps = self.cv_frames / max(time.time() - t0, 1e-9)
         print(f"Done {self.cv_frames} frames in {time.time() - t0:.2f}s"
-              f" [FPS:{fps:.1f},RT:{fps / 100.0:.4f}] (resident)")
+              f" [FPS:{fps:.1f},RT:{fps / 100.0:.4f}] (resident"
+              f"{', mesh' if self.mesh is not None else ''})")
         return stats.accuracy

@@ -55,6 +55,16 @@ class TrainerConfig:
     # loads behind step k's compute (measured: the difference between
     # 105 and 150+ TFLOP/s at production shapes — docs/KERNELS.md)
     scan_unroll: int = 8
+    # fuse the SGD update into the backward epilogue via custom_vjp: the
+    # weight-grad contraction's output feeds p/v updates directly instead
+    # of round-tripping a separate grad tensor through HBM (the TPU analog
+    # of the reference's single fused Update() per layer,
+    # cuBiasedLinearity.cc:44-63)
+    fused_update: bool = False
+
+    def __post_init__(self):
+        if self.scan_unroll < 1:
+            raise ValueError(f"scan_unroll must be >= 1, got {self.scan_unroll}")
 
     def pallas_enabled(self) -> bool:
         if self.use_pallas is not None:

@@ -76,16 +76,26 @@ def run(config, bunch=1024, nb=8, M=8):
 
     mega = jax.jit(mega, static_argnums=(3,), donate_argnums=(0, 1, 2))
     acc = tr._zero_acc()
+    M1, M2 = M, 4 * M
     t0 = time.perf_counter()
-    tr.params, tr.velocity, acc = mega(tr.params, tr.velocity, acc, M)
+    for m in (M1, M2):                   # compile + warmup both windows
+        tr.params, tr.velocity, acc = mega(tr.params, tr.velocity, acc, m)
     float(tr.params[0]["weight"][0, 0])
     print(f"[compile+warm {time.perf_counter()-t0:.1f}s]", flush=True)
-    best = float("inf")
-    for _ in range(4):
-        t0 = time.perf_counter()
-        tr.params, tr.velocity, acc = mega(tr.params, tr.velocity, acc, M)
-        float(tr.params[0]["weight"][0, 0])
-        best = min(best, (time.perf_counter() - t0) / (M * nb))
+
+    # slope timing: each window pays ONE ~28ms scalar-fetch RTT through
+    # the axon tunnel; (t(M2)-t(M1))/(M2-M1) cancels it exactly
+    def window(m):
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            tr.params, tr.velocity, acc = mega(tr.params, tr.velocity,
+                                               tr._zero_acc(), m)
+            float(tr.params[0]["weight"][0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    best = (window(M2) - window(M1)) / ((M2 - M1) * nb)
     n_params = sum(DIMS[i] * DIMS[i + 1] for i in range(len(DIMS) - 1))
     fl = 3 * 2 * n_params * bunch
     print(f"{config:10s} bunch={bunch}: {best*1e6:6.0f}us/bunch  "
@@ -97,7 +107,9 @@ if __name__ == "__main__":
     from nnet_asr_tpu import enable_compilation_cache
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="unroll8")
+    ap.add_argument("--config", default="unroll8",
+                    choices=["unroll1", "unroll4", "unroll8", "unroll16",
+                             "pallas", "bf16", "mom9", "fused_update"])
     ap.add_argument("--bunch", type=int, default=1024)
     ap.add_argument("--nb", type=int, default=8)
     ap.add_argument("--M", type=int, default=8)

@@ -9,11 +9,16 @@ Times, at [1024, 4096x4, 8192] (and configurable bunch):
   - forward+backward (all weight grads consumed)
   - full train step, donated buffers (the production drain path)
   - full train step, NO donation (shows the copy-on-preserve cost)
-each as an on-device fori_loop/scan with ONE scalar fetch per window,
-so the axon tunnel RTT is amortized out of the measurement.  The deltas
-locate the non-GEMM cost that keeps the step below bf16 MXU peak.
+each as an on-device fori_loop/scan window.  Timing is SLOPE-BASED:
+every window pays one scalar fetch through the axon tunnel (~28ms RTT,
+measured), so per-step time is (t_window(M2) - t_window(M1)) / (M2-M1)
+— the constant RTT+dispatch term cancels exactly.  (The round-2 version
+divided a single M=16 window by M; at ~1-5ms/step the RTT was 30-60% of
+the window and every number was inflated — hence the stale "78% of
+peak".)  The deltas locate the non-GEMM cost vs bf16 MXU peak.
 """
 
+import functools
 import sys
 import time
 
@@ -62,7 +67,14 @@ def best_of(call, reps=4):
     return best
 
 
-def probe(dims, bunch, M=16, momentum=0.0):
+def slope_time(make_call, m1, m2, reps=4):
+    """Per-iteration seconds via two window sizes; RTT+dispatch cancels."""
+    t1 = best_of(make_call(m1), reps)
+    t2 = best_of(make_call(m2), reps)
+    return (t2 - t1) / (m2 - m1)
+
+
+def probe(dims, bunch, M=32, momentum=0.0):
     import jax
     import jax.numpy as jnp
 
@@ -105,40 +117,46 @@ def probe(dims, bunch, M=16, momentum=0.0):
         loss, stats = xent_loss_and_stats(logits, lab)
         return loss, stats
 
+    M1, M2 = M, 4 * M
+
     # --- forward only: consume the FULL logits (sum) so nothing DCEs ------
-    @jax.jit
-    def mega_fwd(params, xx):
+    @functools.partial(jax.jit, static_argnums=2)
+    def mega_fwd(params, xx, m):
         def body(_, s):
             logits = fwd_logits(params, xx * (1.0 + s * 1e-20))
             return jnp.sum(logits) * 1e-20
-        return jax.lax.fori_loop(0, M, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, m, body, jnp.float32(0))
 
-    _sync(mega_fwd(params0, x))           # compile
-    t_fwd = best_of(lambda: mega_fwd(params0, x)) / M
+    for m in (M1, M2):
+        _sync(mega_fwd(params0, x, m))    # compile both window sizes
+    t_fwd = slope_time(
+        lambda m: (lambda: mega_fwd(params0, x, m)), M1, M2)
     print(f"fwd                {t_fwd*1e3:8.3f} ms  "
           f"{fl_fwd/t_fwd/1e12:6.1f} TFLOP/s "
           f"({fl_fwd/t_fwd/PEAK_BF16*100:4.1f}% peak on 1x GEMM flops)",
           flush=True)
 
     # --- forward+backward: consume EVERY grad leaf ------------------------
-    @jax.jit
-    def mega_grad(params, xx, lab):
+    @functools.partial(jax.jit, static_argnums=3)
+    def mega_grad(params, xx, lab, m):
         def body(_, s):
             (_, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, xx * (1.0 + s * 1e-20), lab)
             tot = sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grads))
             return tot * 1e-20
-        return jax.lax.fori_loop(0, M, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, m, body, jnp.float32(0))
 
-    _sync(mega_grad(params0, x, labels))
-    t_grad = best_of(lambda: mega_grad(params0, x, labels)) / M
+    for m in (M1, M2):
+        _sync(mega_grad(params0, x, labels, m))
+    t_grad = slope_time(
+        lambda m: (lambda: mega_grad(params0, x, labels, m)), M1, M2)
     print(f"fwd+bwd            {t_grad*1e3:8.3f} ms  "
           f"{3*fl_fwd/t_grad/1e12:6.1f} TFLOP/s "
           f"({3*fl_fwd/t_grad/PEAK_BF16*100:4.1f}% peak)   "
           f"[bwd +{(t_grad-t_fwd)*1e3:.3f} ms]", flush=True)
 
     # --- full train step ----------------------------------------------------
-    def mega_step(params, velocity, acc, xx, lab):
+    def mega_step(params, velocity, acc, xx, lab, m):
         def body(c, _):
             p, v, a = c
             (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -148,22 +166,28 @@ def probe(dims, bunch, M=16, momentum=0.0):
             a = {k: a[k] + stats[k] for k in a}
             return (p, v, a), None
         (p, v, a), _ = jax.lax.scan(body, (params, velocity, acc),
-                                    jnp.arange(M))
+                                    jnp.arange(m))
         return p, v, a
 
     for name, donate in (("full step (donate)", True),
                          ("full step (copy)  ", False)):
-        jf = jax.jit(mega_step, donate_argnums=(0, 1, 2) if donate else ())
-        state = (devcopy(params0), devcopy(velocity0), tr._zero_acc())
-        state = jf(*state, x, labels)     # compile + warmup
-        _sync(state)
-        best = float("inf")
-        for _ in range(4):
-            t0 = time.perf_counter()
-            state = jf(*state, x, labels)
-            _sync(state)
-            best = min(best, time.perf_counter() - t0)
-        t = best / M
+        jf = jax.jit(mega_step, static_argnums=5,
+                     donate_argnums=(0, 1, 2) if donate else ())
+
+        def timed_window(m, jf=jf):
+            # fresh state per call so donation doesn't consume the probe's
+            # master copies; the devcopy cost rides inside the constant
+            # term only if done OUTSIDE the timed call — so copy first
+            def call():
+                return jf(devcopy(params0), devcopy(velocity0),
+                          tr._zero_acc(), x, labels, m)
+            return call
+
+        for m in (M1, M2):
+            _sync(timed_window(m)())      # compile + warmup
+        # NOTE: the devcopy inside the window is per-WINDOW (constant),
+        # so it cancels in the slope like the RTT does
+        t = slope_time(timed_window, M1, M2)
         extra = f"[vs fwd+bwd +{(t-t_grad)*1e3:.3f} ms]"
         print(f"{name} {t*1e3:8.3f} ms  {3*fl_fwd/t/1e12:6.1f} TFLOP/s "
               f"({3*fl_fwd/t/PEAK_BF16*100:4.1f}% peak)   {extra}"
@@ -178,7 +202,7 @@ if __name__ == "__main__":
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--bunch", type=int, default=1024)
-    ap.add_argument("--M", type=int, default=16)
+    ap.add_argument("--M", type=int, default=32)
     ap.add_argument("--momentum", type=float, default=0.0)
     a = ap.parse_args()
     DIMS = [1024, 4096, 4096, 4096, 4096, 8192]

@@ -3,7 +3,7 @@
 # checkout). Reproduces the numbers in BASELINE_MEASURED.md:
 #   - TNet epoch:   Xent/accuracy parity on example-01 (same init, SEED=123)
 #   - TFeaCat:      GMM-bypass posterior features allclose (<= ~1e-5)
-set -e
+set -e -o pipefail
 
 REF=/root/reference
 SRC=/tmp/refsrc
@@ -11,6 +11,31 @@ EX=$REF/examples/01test_MLP3_compare_multithread_cuda_decode_phn
 WORK=${WORK:-/tmp/parity}
 BLAS=/lib/x86_64-linux-gnu/libblas.so.3
 LAPACK=/lib/x86_64-linux-gnu/liblapack.so.3
+
+# Platform/path pairing must be consistent (run_example02.sh pattern):
+# we pin PYTHONPATH=/root/repo below, which drops the axon sitecustomize,
+# so an *ambient* JAX_PLATFORMS=axon would make jax die with "Backend
+# 'axon' is not in the list of known backends". Force CPU unless the
+# caller opts into the TPU (then keep the axon site on the path).
+if [ "${NNET_PARITY_TPU:-}" = "1" ]; then
+  PYPATH=/root/repo:/root/.axon_site
+  unset JAX_PLATFORMS
+else
+  PYPATH=/root/repo
+  export JAX_PLATFORMS=cpu
+fi
+
+# run `cmd... | grep -E pat` but keep the full output on disk and dump it
+# when the command fails, so python tracebacks aren't swallowed by grep
+run_logged() {
+  local log=$1 pat=$2; shift 2
+  if ! "$@" >"$log" 2>&1; then
+    echo "FAILED: $* (full output below)" >&2
+    cat "$log" >&2
+    return 1
+  fi
+  grep -E "$pat" "$log" || true
+}
 
 mkdir -p $WORK
 
@@ -31,7 +56,7 @@ cd $EX
 
 # 2. shared random init
 if [ ! -f $WORK/init.mmf ]; then
-  PYTHONPATH=/root/repo python -m nnet_asr_tpu.tools.gen_mlp_init \
+  PYTHONPATH=$PYPATH python -m nnet_asr_tpu.tools.gen_mlp_init \
     --dim=598:1024:135 --gauss --negbias --seed=317 > $WORK/init.mmf
 fi
 
@@ -44,13 +69,15 @@ COMMON="-I lib/test_3s.mlf -L '*/' -X lab -S lib/test.scp \
  --FEATURETRANSFORM=lib/Hamm_dct_norm --STARTFRMEXT=25 --ENDFRMEXT=25"
 
 echo "=== reference TNet (1 thread) ==="
-$SRC/TNet -T 00 -H $WORK/init.mmf --THREADS=1 \
-  --TARGETMMF=$WORK/epoch1.ref.mmf $COMMON 2>&1 | grep -E 'Xent|FPS'
+run_logged $WORK/tnet.ref.log 'Xent|FPS' \
+  $SRC/TNet -T 00 -H $WORK/init.mmf --THREADS=1 \
+  --TARGETMMF=$WORK/epoch1.ref.mmf $COMMON
 
 echo "=== nnet_asr_tpu tnet ==="
-JAX_PLATFORMS=${JAX_PLATFORMS:-cpu} PYTHONPATH=/root/repo \
-python -m nnet_asr_tpu.tools.tnet -T 00 -H $WORK/init.mmf --GRAD-DIV-FRM=F \
-  --TARGETMMF=$WORK/epoch1.tpu.mmf $COMMON 2>&1 | grep -E 'Xent|FPS'
+run_logged $WORK/tnet.ours.log 'Xent|FPS' \
+  env PYTHONPATH=$PYPATH \
+  python -m nnet_asr_tpu.tools.tnet -T 00 -H $WORK/init.mmf --GRAD-DIV-FRM=F \
+  --TARGETMMF=$WORK/epoch1.tpu.mmf $COMMON
 
 echo "=== posterior parity (TFeaCat, GMM bypass) ==="
 head -5 lib/test.scp > $WORK/sub5.scp
@@ -58,11 +85,11 @@ mkdir -p $WORK/post_ref $WORK/post_ours
 $SRC/TFeaCat -H $WORK/epoch1.ref.mmf -S $WORK/sub5.scp \
   --FEATURETRANSFORM=lib/Hamm_dct_norm --STARTFRMEXT=25 --ENDFRMEXT=25 \
   -l $WORK/post_ref -y post --GMMBYPASS=TRUE
-JAX_PLATFORMS=${JAX_PLATFORMS:-cpu} PYTHONPATH=/root/repo \
+PYTHONPATH=$PYPATH \
 python -m nnet_asr_tpu.tools.tfeacat -H $WORK/epoch1.ref.mmf -S $WORK/sub5.scp \
   --FEATURETRANSFORM=lib/Hamm_dct_norm --STARTFRMEXT=25 --ENDFRMEXT=25 \
   -l $WORK/post_ours -y post --GMMBYPASS=TRUE
-PYTHONPATH=/root/repo python - <<'EOF'
+PYTHONPATH=$PYPATH python - <<'EOF'
 import numpy as np, glob, os
 from nnet_asr_tpu.io import htk
 work = os.environ.get("WORK", "/tmp/parity")

@@ -91,7 +91,10 @@ def _oracle_replay(data, model):
         streams.append(cache)
 
     mesh = make_mesh(data=data, model=model)
-    state, step, evalf, fns = make_sharded_train_step(net, cfg.sgd, mesh)
+    # same scan_unroll as ShardedTrainer builds from cfg, so the oracle's
+    # drain is the identical XLA program shape
+    state, step, evalf, fns = make_sharded_train_step(
+        net, cfg.sgd, mesh, scan_unroll=cfg.scan_unroll)
     state.to_device(mesh)
     total_stats = {"frames": 0, "corr": 0, "xent": 0.0}
     with jax.default_matmul_precision("highest"):

@@ -46,7 +46,7 @@ def corpus(tmp_path_factory):
     return tmp
 
 
-def _run(tmp, mode_flag, weights_dir):
+def _run(tmp, mode_flag, weights_dir, extra=()):
     argv = [
         "--nn-init=" + str(tmp / "init.mmf"),
         "--mlf-train=" + str(tmp / "labels.mlf"),
@@ -57,11 +57,24 @@ def _run(tmp, mode_flag, weights_dir):
         "--learnrate=0.5", "--bunchsize=32", "--cachesize=128",
         "--max-iter=4", "--momentum=0.4", "--weightcost=1e-5",
         "--weights-dir=" + str(weights_dir),
-    ] + ([mode_flag] if mode_flag else [])
+    ] + ([mode_flag] if mode_flag else []) + list(extra)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         scheduler.main(argv)
     return buf.getvalue()
+
+
+def _history(out):
+    return re.findall(r"(TR|CV) accuracy:\s*([\d.]+) iter: (\d+)", out)
+
+
+def _assert_same_weights(dir_a, dir_b):
+    names_a, names_b = sorted(os.listdir(dir_a)), sorted(os.listdir(dir_b))
+    assert names_a == names_b
+    for n in names_a:
+        a = (dir_a / n).read_text()
+        b = (dir_b / n).read_text()
+        assert a == b, f"weights differ: {n}"
 
 
 def test_resident_matches_streaming(corpus, tmp_path):
@@ -69,19 +82,44 @@ def test_resident_matches_streaming(corpus, tmp_path):
     out_r = _run(corpus, "--resident", tmp_path / "w_res")
 
     # identical newbob decision sequence and accuracies
-    def history(out):
-        return re.findall(r"(TR|CV) accuracy:\s*([\d.]+) iter: (\d+)", out)
-    assert history(out_r) == history(out_s)
+    assert _history(out_r) == _history(out_s)
     assert ("Best model" in out_r) and ("Best model" in out_s)
 
     # byte-identical accepted weights at every iteration
-    names_s = sorted(os.listdir(tmp_path / "w_stream"))
-    names_r = sorted(os.listdir(tmp_path / "w_res"))
-    assert names_s == names_r
-    for n in names_s:
-        a = (tmp_path / "w_stream" / n).read_text()
-        b = (tmp_path / "w_res" / n).read_text()
-        assert a == b, f"weights differ: {n}"
+    _assert_same_weights(tmp_path / "w_stream", tmp_path / "w_res")
+
+
+def test_resident_mesh_matches_streaming_mesh(corpus, tmp_path):
+    """--resident --mesh=4x2: HBM-sharded stacks + sharded drains must
+    reproduce the streaming mesh run (tnet --MESH=4x2) exactly — the two
+    fastest modes compose (VERDICT r2 #2)."""
+    out_s = _run(corpus, None, tmp_path / "w_sm", ["--mesh=4x2"])
+    out_r = _run(corpus, "--resident", tmp_path / "w_rm", ["--mesh=4x2"])
+    assert "(resident, mesh)" in out_r
+    assert _history(out_r) == _history(out_s)
+    _assert_same_weights(tmp_path / "w_sm", tmp_path / "w_rm")
+
+
+def test_resident_partial_residency_budget(corpus, tmp_path):
+    """A tiny HBM budget forces most stacks to park on the host and stream
+    H2D per epoch; placement timing must not change the trajectory."""
+    out_full = _run(corpus, "--resident", tmp_path / "w_full")
+    out_part = _run(corpus, "--resident", tmp_path / "w_part",
+                    ["--hbm-budget-mb=0.004"])
+    assert "host-parked" in out_part and "host-parked" not in out_full
+    assert _history(out_part) == _history(out_full)
+    _assert_same_weights(tmp_path / "w_full", tmp_path / "w_part")
+
+
+def test_resident_mesh_partial_residency(corpus, tmp_path):
+    """Budgeted residency composes with the mesh too (sharded H2D per
+    epoch)."""
+    out_full = _run(corpus, "--resident", tmp_path / "w_mf", ["--mesh=2x2"])
+    out_part = _run(corpus, "--resident", tmp_path / "w_mp",
+                    ["--mesh=2x2", "--hbm-budget-mb=0.004"])
+    assert "host-parked" in out_part
+    assert _history(out_part) == _history(out_full)
+    _assert_same_weights(tmp_path / "w_mf", tmp_path / "w_mp")
 
 
 def test_resident_lr_runtime_scalar(corpus, tmp_path):

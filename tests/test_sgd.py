@@ -73,9 +73,13 @@ def test_l2_bias_untouched_in_reference_binary(tmp_path, example01):
     train/sgd.py."""
     from nnet_asr_tpu.io import htk
 
-    # sub-SCP totalling one bunch (960..1919 trimmed frames): the cache
+    # sub-SCP totalling one bunch (960..1919 trainable frames): the cache
     # trains one 960-frame bunch and discards the rest (Cache.cc:239-244),
-    # so the wc=0 and wc>0 runs see identical gradients.
+    # so the wc=0 and wc>0 runs see identical gradients. Raw HTK frame
+    # counts ARE the trainable counts: STARTFRMEXT/ENDFRMEXT extend the
+    # splice context by EDGE REPLICATION (Features.cc:1185-1192, mirrored
+    # in io/htk.py), they do not consume utterance frames — every raw
+    # frame emits one training row, whatever the bundled file sizes.
     frm_ext = 25
     total, lines = 0, []
     for line in (example01 / "lib" / "test.scp").read_text().split():
