@@ -20,24 +20,7 @@ EX=/root/reference/examples/01test_MLP3_compare_multithread_cuda_decode_phn
 STK=${STK:-/tmp/stk}
 
 # build SVite/SResults from the vendored STK trunk if missing
-if [ ! -x $STK/SVite ]; then
-  cp -r /root/reference/src/STKLib/trunk $STK
-  cd $STK && mkdir -p objs
-  FLAGS="-std=gnu++03 -fpermissive -w -O1 -DHAVE_REENTRANT_SEARCH=1 \
-    -DHAVE_SEARCH_H=1 -include stdint.h -include cstring -I. -Isrc \
-    -Isrc/STKLib -Ilib"
-  for f in src/STKLib/*.cc src/STKLib/*.C; do
-    case $f in *imagesc*|*BQuestion*|*Score.cc|*BDTree*|*ContextSample*) continue;; esac
-    g++ $FLAGS -c "$f" -o objs/$(basename ${f%.*}).o
-  done
-  g++ $FLAGS -c src/SVite.cc -o objs/SVite_main.o
-  g++ $FLAGS -c src/SResults.cc -o objs/SResults_main.o
-  for tool in SVite SResults; do
-    g++ -o $tool objs/${tool}_main.o $(ls objs/*.o | grep -v _main) \
-      /lib/x86_64-linux-gnu/libblas.so.3 /lib/x86_64-linux-gnu/liblapack.so.3 \
-      -pthread -lm
-  done
-fi
+STK=$STK bash "$(dirname "$0")/build_stk.sh"
 
 cd $EX
 mkdir -p $D/posteriors
