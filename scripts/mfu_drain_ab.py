@@ -76,26 +76,29 @@ def run(config, bunch=1024, nb=8, M=8):
 
     mega = jax.jit(mega, static_argnums=(3,), donate_argnums=(0, 1, 2))
     acc = tr._zero_acc()
-    M1, M2 = M, 4 * M
     t0 = time.perf_counter()
-    for m in (M1, M2):                   # compile + warmup both windows
-        tr.params, tr.velocity, acc = mega(tr.params, tr.velocity, acc, m)
+    tr.params, tr.velocity, acc = mega(tr.params, tr.velocity, acc, M)
     float(tr.params[0]["weight"][0, 0])
     print(f"[compile+warm {time.perf_counter()-t0:.1f}s]", flush=True)
 
-    # slope timing: each window pays ONE ~28ms scalar-fetch RTT through
-    # the axon tunnel; (t(M2)-t(M1))/(M2-M1) cancels it exactly
-    def window(m):
+    # slope timing over CALL COUNT of one compiled program: a window of k
+    # back-to-back mega() calls pays ONE ~28ms scalar-fetch RTT through
+    # the axon tunnel; (t(k2)-t(k1))/(k2-k1) cancels it exactly (the
+    # round-2 version divided a single window by M — RTT-inflated).
+    # One program only: the 4*M-window variant took >10min remote compile.
+    def window(k):
         best = float("inf")
         for _ in range(4):
             t0 = time.perf_counter()
-            tr.params, tr.velocity, acc = mega(tr.params, tr.velocity,
-                                               tr._zero_acc(), m)
+            for _ in range(k):
+                tr.params, tr.velocity, acc = mega(tr.params, tr.velocity,
+                                                   tr._zero_acc(), M)
             float(tr.params[0]["weight"][0, 0])
             best = min(best, time.perf_counter() - t0)
         return best
 
-    best = (window(M2) - window(M1)) / ((M2 - M1) * nb)
+    k1, k2 = 1, 5
+    best = (window(k2) - window(k1)) / ((k2 - k1) * M * nb)
     n_params = sum(DIMS[i] * DIMS[i + 1] for i in range(len(DIMS) - 1))
     fl = 3 * 2 * n_params * bunch
     print(f"{config:10s} bunch={bunch}: {best*1e6:6.0f}us/bunch  "
