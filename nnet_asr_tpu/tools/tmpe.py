@@ -86,6 +86,11 @@ def main(argv=None) -> int:
     pron_scale = ui.get_flt("PRONUNSCALE", 1.0)
     word_penalty = ui.get_flt("WORDPENALTY", 0.0)
     respect_pronvars = ui.get_bool("RESPECTPRONVARS", False)
+    # integrate over ALL intra-word segmentations (STK-exact) instead of
+    # MAP Viterbi boundaries; EXACTSEGWINDOW=W bounds boundary times to
+    # ±W frames of the MAP boundary (0 = fully exact)
+    exact_seg = ui.get_bool("EXACTSEGMENTATION", False)
+    exact_window = ui.get_int("EXACTSEGWINDOW", 0) or None
     # MMI mode: err = -kappa*(onehot(numerator alignment) - gamma_den^ML).
     # Restores the capability of TMmiCu, which the reference build lists
     # but whose source is absent from the fork (src/Makefile:46).
@@ -140,7 +145,9 @@ def main(argv=None) -> int:
                                 ml_gamma=ml_gamma or mmi,
                                 pron_scale=pron_scale,
                                 word_penalty=word_penalty,
-                                respect_pronun_var=respect_pronvars),
+                                respect_pronun_var=respect_pronvars,
+                                exact_segmentation=exact_seg,
+                                exact_window=exact_window),
                       engine=mpe_engine, dictionary=dictionary)
     lattices = LatticeArchive(p_lat_dir, p_lat_ext, filter_cmd=p_net_filter)
 

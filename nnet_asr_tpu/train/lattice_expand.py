@@ -8,15 +8,26 @@ pronunciation variant, phone nodes inheriting the word arc's time span
 (DecoderNetwork.cc:222-231) and the incoming/outgoing scores attaching to
 the chain ends (DecoderNetwork.cc:293-312).
 
-Design deviation (documented in docs/DEVIATIONS.md): STK's token-passing
-decoder explores ALL phone segmentations inside the word span at decode
-time — phone nodes carry no intra-word times. Our MPE engine factorizes
-into within-arc FB × lattice FB over *timed* arcs (train/mpe.py), so the
-expansion fixes intra-word phone boundaries with a composite-HMM Viterbi
+Two segmentation modes:
+
+``segmentation="map"`` (default): STK's token-passing decoder explores
+ALL phone segmentations inside the word span at decode time — phone
+nodes carry no intra-word times. Our MPE engine factorizes into
+within-arc FB × lattice FB over *timed* arcs (train/mpe.py), so this
+mode fixes intra-word phone boundaries with a composite-HMM Viterbi
 alignment against the same kappa-scaled posteriors the MPE pass uses —
-the Kaldi-style "alignment lattice" formulation. Boundaries are the MAP
-segmentation; the within-word segmentation integral is approximated by
-its mode.
+the Kaldi-style "alignment lattice" formulation (the segmentation
+integral approximated by its mode; docs/DEVIATIONS.md §3a).
+
+``segmentation="exact"``: closes that deviation. Each word arc expands
+into a BOUNDARY SUB-LATTICE — one node per feasible (phone boundary,
+time) pair, one arc per phone occupation of every feasible span — so
+the lattice-level forward-backward integrates over all intra-word
+segmentations and each timed arc's within-arc FB integrates over state
+paths given the boundaries: together the exact sum STK's token passing
+computes (Decoder.tcc:2443-2578). Arc count grows O(k·span²) per word
+arc; ``exact_window=W`` optionally restricts boundary times to ±W
+frames around the MAP boundary (W=None: fully exact).
 
 Pronunciation variants all expand in parallel (RESPECTPRONVARS semantics
 when ``multiple_pronun``); the variant's log pronunciation probability
@@ -91,6 +102,32 @@ def compose_hmms(hmms: Sequence[Hmm], senone_ids: Sequence[Sequence[int]]
                         senones=np.asarray(senones, np.int32))
 
 
+def min_duration(hmm: Hmm) -> int:
+    """Shortest emitting-frame count entry→exit over positive transitions
+    (Dijkstra; self-loops are fine — costs are non-negative). Tee paths
+    clamp to 1: zero-length phone arcs are not representable in the
+    timed-arc engine."""
+    import heapq
+
+    tp = hmm.transp
+    n = tp.shape[0]                       # S + 2
+    INF = 10 ** 9
+    dist = [INF] * n
+    dist[0] = 0
+    heap = [(0, 0)]
+    while heap:
+        dd, u = heapq.heappop(heap)
+        if dd > dist[u]:
+            continue
+        for v in range(n):
+            if tp[u, v] > 0:
+                c = dd + (1 if 1 <= v <= n - 2 else 0)
+                if c < dist[v]:
+                    dist[v] = c
+                    heapq.heappush(heap, (c, v))
+    return max(1, dist[n - 1] if dist[n - 1] < INF else 1)
+
+
 def viterbi_segment(comp: CompositeHmm, log_obs: np.ndarray
                     ) -> Optional[Tuple[float, np.ndarray]]:
     """MAP state path through the composite over ``log_obs`` (T, n_states)
@@ -130,7 +167,12 @@ class LatticeExpander:
                  dictionary: Dict[str, List[Pronun]],
                  outprb_scale: float = 1.0, pron_scale: float = 1.0,
                  word_penalty: float = 0.0, frame_rate: float = 100.0,
-                 multiple_pronun: bool = True):
+                 multiple_pronun: bool = True,
+                 segmentation: str = "map",
+                 exact_window: Optional[int] = None):
+        if segmentation not in ("map", "exact"):
+            raise ValueError(f"segmentation must be 'map' or 'exact', "
+                             f"got {segmentation!r}")
         self.hmms = hmms
         self.dictionary = dictionary
         self.outprb_scale = outprb_scale
@@ -138,9 +180,19 @@ class LatticeExpander:
         self.word_penalty = word_penalty
         self.frame_rate = frame_rate
         self.multiple_pronun = multiple_pronun
+        self.segmentation = segmentation
+        self.exact_window = exact_window
         self._senone_ids = {
             name: h.senone_ids(label_map) for name, h in hmms.items()}
         self._composites: Dict[Tuple[str, ...], CompositeHmm] = {}
+        self._min_dur: Dict[str, int] = {}
+
+    def _mindur(self, phone: str) -> int:
+        d = self._min_dur.get(phone)
+        if d is None:
+            d = min_duration(self.hmms[phone])
+            self._min_dur[phone] = d
+        return d
 
     def needs_expansion(self, lat: Lattice) -> bool:
         return any((w := lat.arc_word(a)) is not None
@@ -176,6 +228,68 @@ class LatticeExpander:
             segs.append((phones[int(seq[f])], t0 + f, t0 + g))
             f = g
         return segs
+
+    def _expand_exact(self, a, phones: Tuple[str, ...], prior: float,
+                      t0: int, t1: int, out: Lattice,
+                      log_post: np.ndarray) -> bool:
+        """Boundary sub-lattice for one (word arc, pronunciation): node
+        (i, t) = "phones[:i] end exactly at frame t"; arc = phone i
+        occupying [s, t). Every path start→end picks k boundary times, so
+        the downstream lattice FB sums over ALL segmentations; min
+        durations bound the feasible boundary ranges. Returns False when
+        the span can't fit the pronunciation (that variant dies, as its
+        tokens would in STK)."""
+        k = len(phones)
+        d = [self._mindur(p) for p in phones]
+        if t1 - t0 < sum(d):
+            return False
+        # feasible range of boundary i (end frame of phones[:i]), 1..k-1
+        lo = [t0 + sum(d[:i]) for i in range(1, k)]
+        hi = [t1 - sum(d[i:]) for i in range(1, k)]
+        if self.exact_window is not None and k > 1:
+            segs = self._align(phones, t0, t1, log_post)
+            if segs is None:
+                return False
+            map_b = [f1 for (_, f0, f1) in segs[:-1]]
+            lo = [max(l, b - self.exact_window)
+                  for l, b in zip(lo, map_b)]
+            hi = [min(h, b + self.exact_window)
+                  for h, b in zip(hi, map_b)]
+            # arc-consistency along the boundary chain so no (i, t) node
+            # is left without a feasible predecessor or successor (a
+            # dead-end node would masquerade as a lattice start/end node
+            # in the downstream FB)
+            for j in range(1, k - 1):
+                lo[j] = max(lo[j], lo[j - 1] + d[j])
+            for j in range(k - 3, -1, -1):
+                hi[j] = min(hi[j], hi[j + 1] - d[j + 1])
+            if any(l > h for l, h in zip(lo, hi)):
+                return False
+        # one private node per (boundary, time): variants never share
+        # internal nodes (sharing would create cross-variant paths)
+        node_id = {}
+        for i in range(1, k):
+            for t in range(lo[i - 1], hi[i - 1] + 1):
+                out.nodes.append(LatticeNode(
+                    time=t / self.frame_rate, word=None))
+                node_id[(i, t)] = len(out.nodes) - 1
+        for i in range(1, k + 1):
+            starts = ([(a.start, t0)] if i == 1 else
+                      [(node_id[(i - 1, s)], s)
+                       for s in range(lo[i - 2], hi[i - 2] + 1)])
+            ends = ([(a.end, t1)] if i == k else
+                    [(node_id[(i, t)], t)
+                     for t in range(lo[i - 1], hi[i - 1] + 1)])
+            for sn, s in starts:
+                for en, t in ends:
+                    if t - s < d[i - 1]:
+                        continue
+                    out.arcs.append(LatticeArc(
+                        start=sn, end=en, word=phones[i - 1],
+                        acoustic=a.acoustic if i == k else 0.0,
+                        lm=a.lm if i == 1 else 0.0,
+                        prior=prior if i == 1 else 0.0))
+        return True
 
     def expand(self, lat: Lattice, log_post: np.ndarray) -> Lattice:
         """Word arcs → timed phone chains (phone/NULL arcs pass through).
@@ -216,6 +330,11 @@ class LatticeExpander:
                         start=a.start, end=a.end, word=None,
                         acoustic=a.acoustic, lm=a.lm, prior=prior))
                     expanded_any = True
+                    continue
+                if self.segmentation == "exact":
+                    if t1 > t0 and self._expand_exact(
+                            a, pronun.phones, prior, t0, t1, out, log_post):
+                        expanded_any = True
                     continue
                 segs = self._align(pronun.phones, t0, t1, log_post) \
                     if t1 > t0 else None

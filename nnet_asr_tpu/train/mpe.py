@@ -61,6 +61,13 @@ class MpeConfig:
     # STK's token-passing state pruning (Decoder mPruningThresh,
     # TMpeCu.cc:559: 0 means no pruning / -LOG_0)
     pruning: float = 0.0
+    # word-lattice expansion: integrate over ALL intra-word phone
+    # segmentations (STK-exact, Decoder.tcc:2443-2578) instead of the MAP
+    # Viterbi boundaries; exact_window=W restricts boundary times to ±W
+    # frames of the MAP boundary (None = fully exact). Closes
+    # docs/DEVIATIONS.md §3a at O(k·span²) arcs per word arc.
+    exact_segmentation: bool = False
+    exact_window: Optional[int] = None
 
 
 @dataclass
@@ -240,7 +247,9 @@ class MpeComputer:
                 hmms, label_map, dictionary,
                 outprb_scale=cfg.outprb_scale, pron_scale=cfg.pron_scale,
                 word_penalty=cfg.word_penalty, frame_rate=cfg.frame_rate,
-                multiple_pronun=not cfg.respect_pronun_var)
+                multiple_pronun=not cfg.respect_pronun_var,
+                segmentation="exact" if cfg.exact_segmentation else "map",
+                exact_window=cfg.exact_window)
         self._padded = engine == "jax"
         if self._padded:
             # bucket-padded masked kernels: ONE device call per utterance

@@ -259,3 +259,128 @@ def test_infeasible_variant_dropped(capsys):
     g_ref, _, _ = plain.compute(phone_lat, log_post, ref_segs)
     g_exp, _, _ = expanding.compute(word_lat, log_post, ref_segs)
     np.testing.assert_allclose(g_exp, g_ref, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# exact-segmentation mode (DEVIATIONS §3a closed)
+# ---------------------------------------------------------------------------
+
+def test_min_duration():
+    from nnet_asr_tpu.train.lattice_expand import min_duration
+
+    assert min_duration(_hmm("a", n_emit=1)) == 1
+    assert min_duration(_hmm("a", n_emit=3)) == 3
+    # skip edge 1->3 shortens the minimum path to 2 emitting frames
+    h = _hmm("a", n_emit=3)
+    h.transp[1, 3] = 0.2
+    assert min_duration(h) == 2
+
+
+def test_exact_logprob_integrates_all_splits():
+    """Single word 'a b' over [0, 8): the exact-mode lattice log prob must
+    equal logsumexp over ALL split points of the two-segment path score —
+    the segmentation integral STK's token passing computes, which MAP
+    mode approximates by its max."""
+    hmms, label_map = _setup()
+    log_post = _posteriors(seed=7)
+    kappa = 0.8
+    dictionary = {"AB": [Pronun("AB", ("a", "b"))]}
+    word_lat = _word_lattice([(0, 1, "AB", 0.0)], [0.0, 0.08])
+
+    def split_score(s):
+        lp = (s - 1) * np.log(0.5) + np.log(0.5) \
+            + kappa * log_post[:s, 0].sum()
+        lp += (8 - s - 1) * np.log(0.5) + np.log(0.5) \
+            + kappa * log_post[s:8, 1].sum()
+        return lp
+
+    scores = np.array([split_score(s) for s in range(1, 8)])
+    want = scores.max() + np.log(np.exp(scores - scores.max()).sum())
+
+    cfg = MpeConfig(outprb_scale=kappa, exact_segmentation=True)
+    exact = MpeComputer(hmms, label_map, cfg, dictionary=dictionary)
+    _, _, lp = exact.compute(word_lat, log_post, REF_SEGS)
+    # abs tol: the test's float64 split sums round differently than the
+    # engine's float32 posterior slices
+    assert lp == pytest.approx(want, abs=2e-5)
+
+    # MAP mode returns only the best split's score
+    map_cfg = MpeConfig(outprb_scale=kappa)
+    mapper = MpeComputer(hmms, label_map, map_cfg, dictionary=dictionary)
+    _, _, lp_map = mapper.compute(word_lat, log_post, REF_SEGS)
+    assert lp_map == pytest.approx(scores.max(), abs=2e-5)
+    assert lp > lp_map
+
+
+def test_exact_gammas_match_bruteforce_chain_enumeration():
+    """Word 'a b c' over [0, 8): exact-mode gammas must equal a hand-built
+    oracle lattice with ONE PARALLEL CHAIN PER (s1, s2) SPLIT PAIR — the
+    brute-force enumeration of every intra-word segmentation."""
+    hmms, label_map = _setup()
+    log_post = _posteriors(seed=8)
+    kappa = 0.9
+    dictionary = {"ABC": [Pronun("ABC", ("a", "b", "c"))]}
+    word_lat = _word_lattice([(0, 1, "ABC", -0.3)], [0.0, 0.08])
+
+    oracle = Lattice()
+    oracle.nodes = [LatticeNode(time=0.0), LatticeNode(time=0.08)]
+    for s1 in range(1, 7):
+        for s2 in range(s1 + 1, 8):
+            n1 = len(oracle.nodes)
+            oracle.nodes.append(LatticeNode(time=s1 / 100.0))
+            n2 = len(oracle.nodes)
+            oracle.nodes.append(LatticeNode(time=s2 / 100.0))
+            oracle.arcs.append(LatticeArc(start=0, end=n1, word="a", lm=-0.3))
+            oracle.arcs.append(LatticeArc(start=n1, end=n2, word="b"))
+            oracle.arcs.append(LatticeArc(start=n2, end=1, word="c"))
+
+    cfg = MpeConfig(lm_scale=1.7, outprb_scale=kappa, exact_segmentation=True)
+    plain = MpeComputer(hmms, label_map,
+                        MpeConfig(lm_scale=1.7, outprb_scale=kappa))
+    exact = MpeComputer(hmms, label_map, cfg, dictionary=dictionary)
+    g_ref, acc_ref, lp_ref = plain.compute(oracle, log_post, REF_SEGS)
+    g_exp, acc_exp, lp_exp = exact.compute(word_lat, log_post, REF_SEGS)
+    np.testing.assert_allclose(g_exp, g_ref, atol=1e-10)
+    assert acc_exp == pytest.approx(acc_ref, abs=1e-10)
+    assert lp_exp == pytest.approx(lp_ref, abs=1e-10)
+
+
+def test_exact_window_zero_reproduces_map_boundaries():
+    """exact_window=0 pins every boundary to the MAP split: gammas and
+    log prob must match plain MAP mode exactly."""
+    hmms, label_map = _setup()
+    log_post = _posteriors(seed=9)
+    dictionary = {"AB": [Pronun("AB", ("a", "b"))]}
+    word_lat = _word_lattice([(0, 1, "AB", -0.2)], [0.0, 0.08])
+
+    map_mode = MpeComputer(hmms, label_map, MpeConfig(),
+                           dictionary=dictionary)
+    windowed = MpeComputer(hmms, label_map,
+                           MpeConfig(exact_segmentation=True, exact_window=0),
+                           dictionary=dictionary)
+    g_map, acc_map, lp_map = map_mode.compute(word_lat, log_post, REF_SEGS)
+    g_win, acc_win, lp_win = windowed.compute(word_lat, log_post, REF_SEGS)
+    np.testing.assert_allclose(g_win, g_map, atol=1e-12)
+    assert acc_win == pytest.approx(acc_map)
+    assert lp_win == pytest.approx(lp_map)
+
+
+def test_exact_min_duration_respected():
+    """A 3-emitting-state phone cannot occupy fewer than 3 frames in any
+    enumerated segmentation."""
+    hmms = {"a": _hmm("a"), "big": _hmm("big", n_emit=3)}
+    label_map = {"a_s2": 0, "big_s2": 1, "big_s3": 2, "big_s4": 3}
+    rng = np.random.default_rng(10)
+    log_post = np.log(rng.dirichlet(np.ones(4), size=10)).astype(np.float32)
+    dictionary = {"W": [Pronun("W", ("a", "big"))]}
+    word_lat = _word_lattice([(0, 1, "W", 0.0)], [0.0, 0.08])
+    exp = LatticeExpander(hmms, label_map, dictionary, segmentation="exact")
+    lat = exp.expand(word_lat, log_post)
+    for a in lat.arcs:
+        t0, t1 = lat.frame(a.start), lat.frame(a.end)
+        if a.word == "big":
+            assert t1 - t0 >= 3
+        assert t1 > t0
+    # boundary after 'a' ranges over [1, 5] -> 5 'a' arcs and 5 'big' arcs
+    assert sum(1 for a in lat.arcs if a.word == "a") == 5
+    assert sum(1 for a in lat.arcs if a.word == "big") == 5

@@ -250,3 +250,42 @@ def test_tmpe_word_lattices_with_dictionary(mpe_setup, tmp_path):
                "--SOURCEDICT=" + str(dict_file),
                "--TARGETMMF=" + str(out_word)] + common)
     assert out_word.read_text() == out_phone.read_text()
+
+
+def test_tmpe_exact_segmentation_flag(mpe_setup, tmp_path):
+    """--EXACTSEGMENTATION through the CLI: single-phone words have no
+    internal boundaries, so exact mode must be byte-identical to MAP mode
+    (and to the pre-expanded phone-lattice run)."""
+    tmp, utts = mpe_setup
+    import os
+
+    from nnet_asr_tpu.io.slf import read_slf, write_slf
+    from nnet_asr_tpu.tools import tmpe
+
+    words_dir = tmp_path / "wordlats"
+    words_dir.mkdir()
+    for name in os.listdir(tmp / "lats"):
+        lat = read_slf(str(tmp / "lats" / name))
+        for a in lat.arcs:
+            a.word = a.word.upper()
+        with open(words_dir / name, "w") as f:
+            write_slf(lat, f)
+    dict_file = tmp_path / "words.dic"
+    dict_file.write_text("A a\nB b\nC c\n")
+
+    common = [
+        "-I", str(tmp / "labels.mlf"), "-L", "*/", "-X", "lab",
+        "-m", str(tmp / "phones.map"), "-S", str(tmp / "train.scp"),
+        "--HMM=" + str(tmp / "hmms.mmf"),
+        "--OUTPSCALE=1.0", "--LEARNINGRATE=2.0",
+        "--LATTICEDIR=" + str(words_dir),
+        "--SOURCEDICT=" + str(dict_file),
+    ]
+    out_map = tmp_path / "map.mmf"
+    tmpe.main(["tmpe", "-H", str(tmp / "init.mmf"),
+               "--TARGETMMF=" + str(out_map)] + common)
+    out_exact = tmp_path / "exact.mmf"
+    tmpe.main(["tmpe", "-H", str(tmp / "init.mmf"),
+               "--EXACTSEGMENTATION=TRUE",
+               "--TARGETMMF=" + str(out_exact)] + common)
+    assert out_exact.read_text() == out_map.read_text()
