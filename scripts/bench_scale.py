@@ -3,9 +3,10 @@
 
 Run on the TPU:  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_scale.py
 
-Note: the MLP3 row here uses a short fixed window (M=16) and reads lower
-than bench.py, which sizes its on-device loop to ~1.2s windows — bench.py
-is the canonical MLP3 number; this script is for the big shapes.
+Round 3: timing is slope-based (two call counts per measurement; the
+~28ms tunnel RTT cancels) — the round-1 fixed-window numbers carried the
+RTT as bias (docs/KERNELS.md). bench.py remains the canonical MLP3
+number; this script is for the big shapes.
 
 Measures, per model shape:
   - full train drain (fwd+bwd+SGD+CE, f32 master params) via the
@@ -68,12 +69,21 @@ def bench_train(dims, bunch=1024, nb=8, M=16):
     acc = tr._zero_acc()
     tr.params, tr.velocity, acc = mega(tr.params, tr.velocity, acc, M)
     float(tr.params[0]["weight"][0, 0])
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        tr.params, tr.velocity, acc = mega(tr.params, tr.velocity, acc, M)
-        float(tr.params[0]["weight"][0, 0])
-        best = min(best, (time.perf_counter() - t0) / M / nb)
+
+    # slope over call count: each window pays ONE ~28ms tunnel RTT,
+    # (t(k2)-t(k1))/(k2-k1) cancels it (docs/KERNELS.md round-3 note)
+    def window(k):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                tr.params, tr.velocity, _ = mega(tr.params, tr.velocity,
+                                                 tr._zero_acc(), M)
+            float(tr.params[0]["weight"][0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    best = (window(5) - window(1)) / (4 * M * nb)
     fl = sum(dims[i] * dims[i + 1] for i in range(len(dims) - 1)) * 2 * 3
     print(f"train {dims}: {best * 1e6:.0f}us/bunch "
           f"{bunch / best / 1e6:.2f}M frames/s  "
@@ -120,12 +130,17 @@ def bench_infer(dims, bunch=1024):
                             (list(Wq), list(ss), bs, x))]:
         y = jf(*args)
         float(y[0, 0])
-        N = 50
-        t0 = time.perf_counter()
-        for _ in range(N):
-            y = jf(*args)
-        float(y[0, 0])
-        dt = (time.perf_counter() - t0) / N
+
+        def window(n):
+            t0 = time.perf_counter()
+            yy = None
+            for _ in range(n):
+                yy = jf(*args)
+            float(yy[0, 0])
+            return time.perf_counter() - t0
+
+        window(50)                        # warm
+        dt = (window(200) - window(50)) / 150
         print(f"infer {name} {dims}: {dt * 1e6:.0f}us/bunch "
               f"{fl / dt / 1e12:.1f} T(FL)OP/s")
 
