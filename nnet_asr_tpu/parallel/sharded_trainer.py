@@ -249,6 +249,63 @@ class ShardedTrainer:
         self._flush_acc()
         self.wall += time.time() - t0
 
+    # -- checkpoint/resume ------------------------------------------------
+    # Same npz key format as train.Trainer (p{i}.{k} / v{i}.{k} / _stats),
+    # saved UNPADDED, so states interoperate between the single-chip and
+    # mesh trainers (a --MESH run can resume a single-chip state and vice
+    # versa); senone padding is re-applied at load.
+    def _unpad(self, i: int, a: np.ndarray) -> np.ndarray:
+        st = self.state
+        if i == st.out_idx and st.n_out_pad != st.n_out:
+            return a[:, :st.n_out] if a.ndim == 2 else a[:st.n_out]
+        return a
+
+    def _pad(self, i: int, a: np.ndarray) -> np.ndarray:
+        st = self.state
+        if i == st.out_idx and st.n_out_pad != st.n_out:
+            pad = st.n_out_pad - st.n_out
+            return (np.pad(a, ((0, 0), (0, pad))) if a.ndim == 2
+                    else np.pad(a, (0, pad)))
+        return a
+
+    def save_state(self, path: str) -> None:
+        st = self.state
+        arrs = {}
+        for i, p in enumerate(st.host_params()):      # already unpadded
+            for k, v in p.items():
+                arrs[f"p{i}.{k}"] = v
+        for i, v in enumerate(st.velocity):
+            for k, vv in v.items():
+                arrs[f"v{i}.{k}"] = self._unpad(i, np.asarray(vv))
+        arrs["_stats"] = np.asarray(
+            [self.stats.error, self.stats.frames,
+             getattr(self.stats, "corr", 0)], dtype=np.float64)
+        np.savez(path, **arrs)
+
+    def load_state(self, path: str) -> None:
+        data = np.load(path)
+        st = self.state
+
+        def put(i, k, a):
+            return jax.device_put(
+                self._pad(i, a),
+                NamedSharding(self.mesh, st.param_specs[i][k]))
+
+        st.params = [
+            {k: (put(i, k, data[f"p{i}.{k}"]) if f"p{i}.{k}" in data else v)
+             for k, v in p.items()}
+            for i, p in enumerate(st.params)]
+        st.velocity = [
+            {k: (put(i, k, data[f"v{i}.{k}"]) if f"v{i}.{k}" in data
+                 else jnp.zeros_like(v))
+             for k, v in p.items()}
+            for i, p in enumerate(st.velocity)]
+        s = data["_stats"]
+        self.stats.error = float(s[0])
+        self.stats.frames = int(s[1])
+        if hasattr(self.stats, "corr"):
+            self.stats.corr = int(s[2])
+
     def updated_network(self) -> Network:
         return Network(self.net.specs, self.state.host_params())
 

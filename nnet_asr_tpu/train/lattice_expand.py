@@ -250,7 +250,7 @@ class LatticeExpander:
             segs = self._align(phones, t0, t1, log_post)
             if segs is None:
                 return False
-            map_b = [f1 for (_, f0, f1) in segs[:-1]]
+            map_b = [f1 for (_, _, f1) in segs[:-1]]
             lo = [max(l, b - self.exact_window)
                   for l, b in zip(lo, map_b)]
             hi = [min(h, b + self.exact_window)

@@ -47,7 +47,7 @@ from ..models.network import Network
 from ..ops.objectives import MseStats, XentStats
 from .cache import DeviceFrameCache
 from .pipeline import TransformPipeline
-from .sgd import SgdConfig, init_momentum
+from .sgd import init_momentum
 from .trainer import Trainer, TrainerConfig
 
 

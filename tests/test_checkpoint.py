@@ -38,3 +38,58 @@ def test_checkpoint_roundtrip(tmp_path):
     tr2.run_epoch(iter([(X, y)]))
     np.testing.assert_allclose(np.asarray(tr.params[0]["weight"]),
                                np.asarray(tr2.params[0]["weight"]), rtol=1e-6)
+
+
+def test_checkpoint_interop_single_chip_and_mesh(tmp_path):
+    """--SAVESTATE/--RESUMESTATE under --MESH: states round-trip through
+    the sharded trainer AND interoperate with the single-chip trainer
+    (senone padding stripped on save, re-applied on load)."""
+    import jax
+
+    from nnet_asr_tpu.parallel.mesh import make_mesh
+    from nnet_asr_tpu.parallel.sharded_trainer import ShardedTrainer
+
+    rng = np.random.default_rng(1)
+    n_out = 5                                # 5 % 2 != 0 -> padded on mesh
+    specs = (BiasedLinearity(6, 8), Sigmoid(8, 8),
+             BiasedLinearity(8, n_out), Softmax(n_out, n_out))
+    P = [{"weight": (0.2 * rng.standard_normal((6, 8))).astype(np.float32),
+          "bias": np.zeros(8, np.float32)}, {},
+         {"weight": (0.2 * rng.standard_normal((8, n_out))).astype(np.float32),
+          "bias": np.zeros(n_out, np.float32)}, {}]
+    cfg = TrainerConfig(bunchsize=16, cachesize=32, randomize=False,
+                        sgd=SgdConfig(learning_rate=0.1, momentum=0.5))
+    X = rng.standard_normal((32, 6)).astype(np.float32)
+    y = rng.integers(0, n_out, 32).astype(np.int32)
+
+    mesh = make_mesh(data=4, model=2)
+    with jax.default_matmul_precision("highest"):
+        sh = ShardedTrainer(Network(specs, [dict(p) for p in P]), cfg, mesh)
+        sh.run_epoch(iter([(X, y)]))
+        state = str(tmp_path / "mesh_state.npz")
+        sh.save_state(state)
+
+        # mesh -> mesh round trip, continued training matches
+        sh2 = ShardedTrainer(Network(specs, [dict(p) for p in P]), cfg, mesh)
+        sh2.load_state(state)
+        assert sh2.stats.frames == sh.stats.frames
+        sh.run_epoch(iter([(X, y)]))
+        sh2.run_epoch(iter([(X, y)]))
+        a = sh.updated_network().params
+        b = sh2.updated_network().params
+        np.testing.assert_array_equal(a[2]["weight"], b[2]["weight"])
+
+        # mesh state resumes in the SINGLE-CHIP trainer (unpadded shapes)
+        tr = Trainer(Network(specs, [dict(p) for p in P]), cfg)
+        tr.load_state(state)
+        np.testing.assert_array_equal(
+            np.asarray(tr.velocity[2]["weight"]).shape, (8, n_out))
+        # and a single-chip state resumes on the mesh
+        tr_state = str(tmp_path / "single_state.npz")
+        tr.save_state(tr_state)
+        sh3 = ShardedTrainer(Network(specs, [dict(p) for p in P]), cfg, mesh)
+        sh3.load_state(tr_state)
+        w = np.asarray(
+            jax.device_get(sh3.state.params[2]["weight"]))
+        assert w.shape[1] == sh3.state.n_out_pad
+        assert not w[:, n_out:].any()        # padding restored as zeros
