@@ -168,7 +168,10 @@ class MlfReader:
         hit = self._index.get("*/" + base)
         if hit is not None:
             return hit[0]
-        if base != name and base in self._base_index:
+        # covers base != name (pathful query vs plain-stored record) AND
+        # base == name (bare-name query vs full-path record — how tmpe
+        # fetches '001.lat' from SVite's '"/workdir/001.lat"' lattice MLF)
+        if base in self._base_index:
             return self._base_index[base]
         return None
 

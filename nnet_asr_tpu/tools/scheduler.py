@@ -165,11 +165,27 @@ def main(argv=None) -> int:
         runner = ResidentNewbob(args.nn_init, transform, reader,
                                 labels_repo, tcfg, args.frm_ext,
                                 mesh=mesh, hbm_budget_bytes=budget)
-        runner.prepare(read_scp(args.scp_train), read_scp(args.scp_cv),
-                       cv_labels_repo=cv_repo)
+        train_entries = read_scp(args.scp_train)
+        cv_entries = read_scp(args.scp_cv)
+        import jax
+        if jax.process_count() > 1:
+            # per-host input sharding, as tnet --DISTRIBUTED does
+            pid, nproc = jax.process_index(), jax.process_count()
+            train_entries = train_entries[pid::nproc]
+            cv_entries = cv_entries[pid::nproc]
+        runner.prepare(train_entries, cv_entries, cv_labels_repo=cv_repo)
         train_epoch, crossvalidate = runner.train_epoch, runner.crossvalidate
+    newbob_kwargs = {}
+    import jax as _jax
+    if args.resident and _jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        newbob_kwargs = dict(
+            fs_ops=_jax.process_index() == 0,
+            barrier=lambda: multihost_utils.sync_global_devices(
+                "newbob_fs"))
     best, st = run_newbob(cfg, args.nn_init, args.weights_dir,
-                          train_epoch, crossvalidate)
+                          train_epoch, crossvalidate, **newbob_kwargs)
     print(f"Best model: {best} (CV {st.accu_best:.4f}%, "
           f"{len(st.history)} iterations)")
     return 0

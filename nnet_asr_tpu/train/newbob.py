@@ -48,13 +48,27 @@ def run_newbob(
     train_epoch: Callable[[str, float, str], float],
     crossvalidate: Callable[[str], float],
     log: Callable[[str], None] = print,
+    fs_ops: bool = True,
+    barrier: Callable[[], None] = None,
 ) -> Tuple[str, NewbobState]:
     """Drive newbob training.
 
     ``train_epoch(src_mmf, lrate, dst_mmf) -> train_accuracy`` runs one
     epoch; ``crossvalidate(mmf) -> cv_accuracy`` evaluates. Returns
     (best_model_path, state).
+
+    Multi-host: every process runs the (identical) decision loop, but
+    only one mutates the weight files — pass ``fs_ops=False`` on the
+    others and a ``barrier`` (e.g. multihost_utils.sync_global_devices)
+    so nobody reads a renamed file before process 0 moved it.
     """
+
+    def fs_replace(a, b):
+        if fs_ops:
+            os.replace(a, b)
+        if barrier is not None:
+            barrier()
+
     os.makedirs(weights_dir, exist_ok=True)
     base = os.path.join(
         weights_dir,
@@ -78,7 +92,7 @@ def run_newbob(
 
         named = (f"{nnet_next}_lr{st.lrate:.5g}_tr{accu_train:.5g}"
                  f"_cv{accu_cv:.5g}")
-        os.replace(nnet_next, named)
+        fs_replace(nnet_next, named)
         st.history.append({"iter": it, "lrate": st.lrate, "tr": accu_train,
                            "cv": accu_cv, "model": named})
 
@@ -92,7 +106,7 @@ def run_newbob(
         if accu_cv < st.accu_best:
             log(f"reverting the weights  {accu_cv:.10g} < {st.accu_best:.10g}")
             accu_prev = st.accu_best
-            os.replace(named, named + "_rejected")
+            fs_replace(named, named + "_rejected")
             st.history[-1]["rejected"] = True
         else:
             log("accepting weights")
@@ -113,7 +127,9 @@ def run_newbob(
 
     final = (f"{base}_final_iters{st.iter}_tr{accu_train:.5g}"
              f"_cv{st.accu_best:.5g}")
-    if st.iter > 0 and os.path.exists(st.nnet_best):
+    if st.iter > 0 and fs_ops and os.path.exists(st.nnet_best):
         import shutil
         shutil.copy(st.nnet_best, final)
+    if barrier is not None:
+        barrier()
     return st.nnet_best, st

@@ -90,18 +90,23 @@ class ResidentNewbob:
         self.pipeline = TransformPipeline(transform, frm_ext, frm_ext)
         net0 = Network.read(nn_init)
         self.net_specs = net0.specs
+        self.n_proc = jax.process_count()
         if mesh is not None:
-            if jax.process_count() > 1:
-                raise ValueError(
-                    "resident mesh mode is single-process (use the "
-                    "streaming ShardedTrainer for multi-host fleets)")
             from ..parallel.sharded_trainer import ShardedTrainer
 
+            # multi-host resident (n_proc > 1): each process collects its
+            # own SCP shard into LOCAL stacks through the same lockstep
+            # drain negotiation the streaming ShardedTrainer uses; stacks
+            # are assembled into global sharded arrays once (device-side,
+            # no host hop) and every epoch is just the sharded drains
             self.trainer = ShardedTrainer(net0, cfg, mesh, transform,
                                           frm_ext, frm_ext)
             self._feats_sh = self.trainer._feats_sh
             self._labels_sh = self.trainer._labels_sh
         else:
+            if self.n_proc > 1:
+                raise ValueError(
+                    "multi-host resident mode needs a mesh (--mesh)")
             self.trainer = Trainer(net0, cfg, transform, frm_ext, frm_ext)
             self._feats_sh = self._labels_sh = None
         self._train_stacks: List[_Stack] = []
@@ -112,15 +117,20 @@ class ResidentNewbob:
     # -- placement --------------------------------------------------------
     def _admit(self, stacked) -> _Stack:
         """Keep a stack resident if the HBM budget allows, else park it on
-        the host (partial residency: H2D per epoch, no re-intake)."""
+        the host (partial residency: H2D per epoch, no re-intake).
+
+        ``stacked`` is this process's LOCAL (nb, B_loc, ...) pair; budget
+        accounting is per-process local bytes. Resident stacks globalize
+        immediately (mesh: sharded assembly — multi-host stays device-
+        resident via make_array_from_single_device_arrays); parked stacks
+        stay as host numpy and globalize per epoch in _place."""
         feats, labels = stacked
         nbytes = feats.nbytes + labels.nbytes
         fits = (self.hbm_budget is None
                 or self._resident_bytes + nbytes <= self.hbm_budget)
         if fits:
             if self.mesh is not None:
-                feats = jax.device_put(feats, self._feats_sh)
-                labels = jax.device_put(labels, self._labels_sh)
+                feats, labels = self.trainer._globalize(feats, labels)
             self._resident_bytes += nbytes
             return _Stack(feats, labels, on_device=True)
         st = _Stack(np.asarray(feats), np.asarray(labels), on_device=False)
@@ -132,11 +142,19 @@ class ResidentNewbob:
         if st.on_device:
             return st.feats, st.labels
         if self.mesh is not None:
-            return (jax.device_put(st.feats, self._feats_sh),
-                    jax.device_put(st.labels, self._labels_sh))
+            return self.trainer._globalize(st.feats, st.labels)
         return jnp.asarray(st.feats), jnp.asarray(st.labels)
 
     # -- one-time intake ------------------------------------------------
+    def _utt_iter(self, scp_entries, labels_repo):
+        for e in scp_entries:
+            feats = self.reader.read(e.physical, e.logical)
+            n_real = feats.shape[0] - 2 * self.frm_ext
+            labs = labels_repo.get_frame_labels(
+                n_real, self.reader.last_header.sample_period, e.logical)
+            yield (np.asarray(feats, np.float32),
+                   np.asarray(labs, np.int32))
+
     def _collect(self, scp_entries, randomize: bool,
                  batch_utts: int = 32,
                  labels_repo=None) -> Tuple[List[_Stack], int]:
@@ -145,7 +163,15 @@ class ResidentNewbob:
         Reproduces Trainer.run_epoch's intake exactly (same seed, same
         utterance order, same cache boundaries) so the cached bunch
         sequence is identical to what every streaming epoch would see.
+        Multi-host (mesh, n_proc > 1): this process's LOCAL shard flows
+        through the same lockstep min-bunch drain negotiation as the
+        streaming ShardedTrainer, so the stored global stack sequence is
+        identical to what streaming epochs would drain.
         """
+        labels_repo = labels_repo or self.labels_repo
+        utts = self._utt_iter(scp_entries, labels_repo)
+        if self.n_proc > 1:
+            return self._collect_multihost(utts, randomize, batch_utts)
         cache = DeviceFrameCache(self.cfg.cachesize, self.cfg.bunchsize,
                                  self.cfg.seed, randomize)
         stacks: List[_Stack] = []
@@ -167,14 +193,9 @@ class ResidentNewbob:
             pend_f.clear()
             pend_l.clear()
 
-        labels_repo = labels_repo or self.labels_repo
-        for e in scp_entries:
-            feats = self.reader.read(e.physical, e.logical)
-            n_real = feats.shape[0] - 2 * self.frm_ext
-            labs = labels_repo.get_frame_labels(
-                n_real, self.reader.last_header.sample_period, e.logical)
-            pend_f.append(np.asarray(feats, np.float32))
-            pend_l.append(np.asarray(labs, np.int32))
+        for feats, labs in utts:
+            pend_f.append(feats)
+            pend_l.append(labs)
             if len(pend_f) >= batch_utts:
                 flush()
         flush()
@@ -182,6 +203,61 @@ class ResidentNewbob:
             stacked = cache.take_stacked()
             if stacked is not None:
                 stacks.append(self._admit(stacked))
+        return stacks, total
+
+    def _collect_multihost(self, utts, randomize: bool,
+                           batch_utts: int) -> Tuple[List[_Stack], int]:
+        """Per-host shard intake with the ShardedTrainer's lockstep
+        min-bunch negotiation (sharded_trainer.py run_epoch multi-proc
+        loop), storing the agreed stacks instead of draining them."""
+        from jax.experimental import multihost_utils
+
+        tr = self.trainer
+        cache = DeviceFrameCache(tr.local_cache, tr.local_bunch,
+                                 self.cfg.seed, randomize)
+        stacks: List[_Stack] = []
+        total = 0
+        it = iter(utts)
+        exhausted = False
+        pend_f: List[np.ndarray] = []
+        pend_l: List[np.ndarray] = []
+
+        def flush():
+            nonlocal total
+            if not pend_f:
+                return
+            rows, valid = self.pipeline.transform_block(pend_f)
+            labels_block = np.concatenate(pend_l)
+            total += valid
+            cache.add_block(rows, valid, labels_block)
+            pend_f.clear()
+            pend_l.clear()
+
+        while True:
+            while not cache.full and not exhausted:
+                try:
+                    feats, labs = next(it)
+                except StopIteration:
+                    exhausted = True
+                    break
+                pend_f.append(feats)
+                pend_l.append(labs)
+                if len(pend_f) >= batch_utts:
+                    flush()
+            flush()
+            nb_local = min(cache.rows, cache.cachesize) // tr.local_bunch
+            offers = np.asarray(multihost_utils.process_allgather(
+                np.int32(nb_local)))
+            agreed = int(offers.min())
+            if agreed == 0:
+                break
+            stacked = cache.take_stacked(max_bunches=agreed)
+            if stacked is not None:
+                stacks.append(self._admit(stacked))
+        if cache.rows > 0:
+            print(f"[resident] host {jax.process_index()}: dropping "
+                  f"{cache.rows} unmatched frames (unbalanced SCP shards)",
+                  flush=True)
         return stacks, total
 
     def prepare(self, train_entries, cv_entries,
@@ -231,7 +307,18 @@ class ResidentNewbob:
                     tr._fns["drain_train"](tr.state.params, tr.state.velocity,
                                            acc, feats_all, labels_all, tr._lr)
                 self._merge(stats, acc)
-            Network(self.net_specs, tr.state.host_params()).write(dst)
+            # multi-host: params are identical on every process (psum'd
+            # grads); process 0 writes the epoch MMF, the fleet syncs
+            # before anyone reloads it (shared-filesystem convention,
+            # like the reference's SGE staging)
+            if self.n_proc > 1:
+                from jax.experimental import multihost_utils
+
+                if jax.process_index() == 0:
+                    Network(self.net_specs, tr.state.host_params()).write(dst)
+                multihost_utils.sync_global_devices("resident_mmf_write")
+            else:
+                Network(self.net_specs, tr.state.host_params()).write(dst)
         else:
             tr.params = self._load_params(src)
             # fresh momentum per epoch: the reference's optimizer state

@@ -324,3 +324,21 @@ def test_lattice_archive_filter(tmp_path):
     lat = arch.get("dir/u1.fea")
     assert len(lat.nodes) == 2 and len(lat.arcs) == 1
     assert lat.arcs[0].word == "a"
+
+
+def test_mlf_bare_name_matches_fullpath_record(tmp_path):
+    """SVite's '-z lat' lattice MLFs store records under FULL paths
+    ('"/workdir/001.lat"'); tmpe's LatticeArchive queries by bare name
+    ('001.lat') — the basename fallback must fire for base == name too
+    (round-3 regression fix: the round-2 wildcard rewrite guarded it with
+    base != name and the MPE pipeline lost its lattices)."""
+    from nnet_asr_tpu.io.mlf import MlfReader
+
+    p = tmp_path / "lats.mlf"
+    p.write_text('#!MLF!#\n"/some/work/dir/001.lat"\nN=1 L=0\n.\n'
+                 '"/some/work/dir/002.lat"\nN=2 L=1\n.\n')
+    r = MlfReader(str(p))
+    assert r.read_block("001.lat") == ["N=1 L=0"]
+    assert r.read_block("002.lat") == ["N=2 L=1"]
+    # pathful queries keep working
+    assert r.read_block("/some/work/dir/001.lat") == ["N=1 L=0"]
