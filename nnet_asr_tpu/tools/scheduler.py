@@ -176,14 +176,17 @@ def main(argv=None) -> int:
         runner.prepare(train_entries, cv_entries, cv_labels_repo=cv_repo)
         train_epoch, crossvalidate = runner.train_epoch, runner.crossvalidate
     newbob_kwargs = {}
-    import jax as _jax
-    if args.resident and _jax.process_count() > 1:
-        from jax.experimental import multihost_utils
+    if args.resident:
+        import jax
+        if jax.process_count() > 1:
+            # every process replays the identical decision loop; only
+            # process 0 touches the weight files, behind fleet barriers
+            from jax.experimental import multihost_utils
 
-        newbob_kwargs = dict(
-            fs_ops=_jax.process_index() == 0,
-            barrier=lambda: multihost_utils.sync_global_devices(
-                "newbob_fs"))
+            newbob_kwargs = dict(
+                fs_ops=jax.process_index() == 0,
+                barrier=lambda: multihost_utils.sync_global_devices(
+                    "newbob_fs"))
     best, st = run_newbob(cfg, args.nn_init, args.weights_dir,
                           train_epoch, crossvalidate, **newbob_kwargs)
     print(f"Best model: {best} (CV {st.accu_best:.4f}%, "

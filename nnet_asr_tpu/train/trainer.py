@@ -55,12 +55,10 @@ class TrainerConfig:
     # loads behind step k's compute (measured: the difference between
     # 105 and 150+ TFLOP/s at production shapes — docs/KERNELS.md)
     scan_unroll: int = 8
-    # fuse the SGD update into the backward epilogue via custom_vjp: the
-    # weight-grad contraction's output feeds p/v updates directly instead
-    # of round-tripping a separate grad tensor through HBM (the TPU analog
-    # of the reference's single fused Update() per layer,
-    # cuBiasedLinearity.cc:44-63)
-    fused_update: bool = False
+    # (a fused-SGD-update mode was planned here; the round-3 slope-timed
+    # decomposition showed XLA already fuses the update into the wgrad
+    # GEMM epilogues — +0.23ms over fwd+bwd, docs/KERNELS.md — so there
+    # is no separate mode to build)
 
     def __post_init__(self):
         if self.scan_unroll < 1:

@@ -112,7 +112,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="unroll8",
                     choices=["unroll1", "unroll4", "unroll8", "unroll16",
-                             "pallas", "bf16", "mom9", "fused_update"])
+                             "pallas", "bf16", "mom9"])
     ap.add_argument("--bunch", type=int, default=1024)
     ap.add_argument("--nb", type=int, default=8)
     ap.add_argument("--M", type=int, default=8)
