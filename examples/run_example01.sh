@@ -4,7 +4,17 @@
 # Mirrors run_test.{CPU,GPU}.sh (same data, options, and seed conventions).
 set -e
 REPO="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
-export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
+# default to a guaranteed-CPU run (run_example02.sh pattern): with the
+# axon sitecustomize on the ambient PYTHONPATH, every python invocation
+# would claim the TPU tunnel at interpreter start — slow per-process and
+# wrong for a CPU validation drive. Set NNET_EX01_TPU=1 to keep the
+# ambient path and run on the TPU.
+if [ "${NNET_EX01_TPU:-}" = "1" ]; then
+  export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
+else
+  export PYTHONPATH="$REPO"
+  export JAX_PLATFORMS=cpu
+fi
 EX=/root/reference/examples/01test_MLP3_compare_multithread_cuda_decode_phn
 W=${1:-/tmp/nnet_asr_tpu_example01}
 mkdir -p $W

@@ -7,7 +7,17 @@
 # Usage: run_rbm_pretrain_example01.sh [workdir] [hid_dim] [rbm_iters] [ce_iters]
 set -e
 REPO="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
-export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
+# default to a guaranteed-CPU run (run_example02.sh pattern): with the
+# axon sitecustomize on the ambient PYTHONPATH, every python invocation
+# would claim the TPU tunnel at interpreter start — slow per-process and
+# wrong for a CPU validation drive. Set NNET_EX01_TPU=1 to keep the
+# ambient path and run on the TPU.
+if [ "${NNET_EX01_TPU:-}" = "1" ]; then
+  export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
+else
+  export PYTHONPATH="$REPO"
+  export JAX_PLATFORMS=cpu
+fi
 W=${1:-/tmp/rbm_ex01}
 HID=${2:-512}
 RBM_ITERS=${3:-3}
