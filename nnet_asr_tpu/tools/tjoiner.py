@@ -55,6 +55,9 @@ def main(argv=None) -> int:
     ui.get_int("TRACE", 0)
     if ui.get_bool("PRINTCONFIG", False):
         ui.print_config()
+    if ui.get_bool("PRINTVERSION", False):
+        from .. import __version__
+        print(f"\n======= TJOINER v{__version__} (nnet_asr_tpu) =======\n")
     ui.check_command_line_param_use()
 
     if p_script is None:

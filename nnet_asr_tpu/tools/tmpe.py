@@ -91,6 +91,34 @@ def main(argv=None) -> int:
     # ±W frames of the MAP boundary (0 = fully exact)
     exact_seg = ui.get_bool("EXACTSEGMENTATION", False)
     exact_window = ui.get_int("EXACTSEGWINDOW", 0) or None
+    # decoder scale/penalty knobs (TMpeCu.cc:256-267)
+    transp_scale = ui.get_flt("TRANSPSCALE", 1.0)
+    model_penalty = ui.get_flt("MODELPENALTY", 0.0)
+    occup_scale = ui.get_flt("OCCUPPSCALE", 1.0)
+    start_time_shift = ui.get_flt("STARTTIMESHIFT", 0.0)
+    end_time_shift = ui.get_flt("ENDTIMESHIFT", 0.0)
+    # STK recognition-network construction/beam knobs with no analog in
+    # the factorized SLF engine: accepted for script compatibility, must
+    # stay at the reference defaults (TMpeCu.cc:262-283). Our lattices
+    # are always timed (DEVIATIONS.md §3), so TIMEPRUNING's
+    # "ignore lattice times" default is structurally n/a.
+    ui.get_bool("TIMEPRUNING", False)
+    for flag, default in (("ALLOWXWRDEXP", False), ("EXACTTIMEMERGE", False),
+                          ("REMEXPWRDNODES", False), ("MINIMIZENET", False),
+                          ("WEIGHTPUSHING", True)):
+        if ui.get_bool(flag, default) != default:
+            print(f"WARNING: --{flag} has no effect: the factorized SLF "
+                  f"engine builds no STK recognition network "
+                  f"(docs/DEVIATIONS.md §2/§3)", file=sys.stderr)
+    for flag in ("MAXACTIVEMODELS", "MINACTIVEMODELS"):
+        if ui.get_int(flag, 0) != 0:
+            print(f"WARNING: --{flag} has no effect: the exact lattice FB "
+                  f"has no token beam; use --PRUNING* for the lattice "
+                  f"beam", file=sys.stderr)
+    if ui.get_flt("POSTERIORSCALE", 1.0) != 1.0:
+        print("WARNING: --POSTERIORSCALE has no effect: SLF lattices carry "
+              "no posterior field (STK-net 'P=' links only)",
+              file=sys.stderr)
     # MMI mode: err = -kappa*(onehot(numerator alignment) - gamma_den^ML).
     # Restores the capability of TMmiCu, which the reference build lists
     # but whose source is absent from the fork (src/Makefile:46).
@@ -104,6 +132,9 @@ def main(argv=None) -> int:
     trace = ui.get_int("TRACE", 0)
     if ui.get_bool("PRINTCONFIG", False):
         ui.print_config()
+    if ui.get_bool("PRINTVERSION", False):
+        from .. import __version__
+        print(f"\n======= TMPECU v{__version__} (nnet_asr_tpu) =======\n")
     ui.check_command_line_param_use()
 
     for req, msg in ((p_source_mmf, "Source MMF must be specified [-H]"),
@@ -147,7 +178,12 @@ def main(argv=None) -> int:
                                 word_penalty=word_penalty,
                                 respect_pronun_var=respect_pronvars,
                                 exact_segmentation=exact_seg,
-                                exact_window=exact_window),
+                                exact_window=exact_window,
+                                transp_scale=transp_scale,
+                                model_penalty=model_penalty,
+                                occup_scale=occup_scale,
+                                start_time_shift=start_time_shift,
+                                end_time_shift=end_time_shift),
                       engine=mpe_engine, dictionary=dictionary)
     lattices = LatticeArchive(p_lat_dir, p_lat_ext, filter_cmd=p_net_filter)
 

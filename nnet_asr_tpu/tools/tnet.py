@@ -82,6 +82,10 @@ def main(argv=None) -> int:
     ui.get_int("GPUSELECT", -1)     # ditto
     ui.get_bool("SAVEBINARY", False)  # accepted; models are ASCII MMF (as the
                                       # reference effectively is in this fork)
+    ui.get_str("TEMPBASISFOLDER")   # cluster temp-basis staging dir; n/a
+    if not ui.get_bool("MLFTRANSC", True):
+        print("WARNING: --MLFTRANSC=FALSE (per-file transcriptions) is not "
+              "supported; labels come from the -I MLF", file=sys.stderr)
 
     if ui.get_bool("PRINTCONFIG", False):
         print()

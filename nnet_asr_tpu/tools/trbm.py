@@ -52,6 +52,9 @@ def main(argv=None) -> int:
     trace = ui.get_int("TRACE", 0)
     if ui.get_bool("PRINTCONFIG", False):
         ui.print_config()
+    if ui.get_bool("PRINTVERSION", False):
+        from .. import __version__
+        print(f"\n======= TRBM v{__version__} (nnet_asr_tpu) =======\n")
     ui.check_command_line_param_use()
 
     if p_source_mmf is None:

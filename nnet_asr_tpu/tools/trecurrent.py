@@ -64,8 +64,21 @@ def main(argv=None) -> int:
     # for validation against the reference binary
     frame_serial = ui.get_bool("FRAMESERIAL", False)
     trace = ui.get_int("TRACE", 0)
+    # accepted for script compatibility; the reference reads and then
+    # DISCARDS these too — recurrent training is frame-serial over whole
+    # utterances, no bunch cache (TRecurrentCu.cc:218-220)
+    ui.get_int("BUNCHSIZE", 256)
+    ui.get_int("CACHESIZE", 12800)
+    ui.get_bool("RANDOMIZE", True)
+    ui.get_int("SEED", 0)
+    if not ui.get_bool("MLFTRANSC", True):
+        print("WARNING: --MLFTRANSC=FALSE (per-file transcriptions) is not "
+              "supported; labels come from the -I MLF", file=sys.stderr)
     if ui.get_bool("PRINTCONFIG", False):
         ui.print_config()
+    if ui.get_bool("PRINTVERSION", False):
+        from .. import __version__
+        print(f"\n======= TRECURRENT v{__version__} (nnet_asr_tpu) =======\n")
     ui.check_command_line_param_use()
 
     for req, msg in ((p_source_mmf, "Source MMF must be specified [-H]"),

@@ -20,7 +20,9 @@ from ..utils.config import UserInterface
 OPTION_STRING = (
     " -S l   SCRIPT"
     " -T r   TRACE"
+    " -A n   PRINTCONFIG=TRUE"
     " -D n   PRINTCONFIG=TRUE"
+    " -V n   PRINTVERSION=TRUE"
 )
 
 SNAME = "TSEGMENTER"
@@ -35,6 +37,20 @@ def main(argv=None) -> int:
     p_outdir = ui.get_str("TARGETPARAMDIR")
     p_outscp = ui.get_str("TARGETSCRIPT")
     extract = ui.get_bool("EXTRACTSEGMENTS", True)
+    ui.get_int("TRACE", 0)
+    # NOSUBDIRS (TSegmenter.cc:154, 223-228): by default staged files
+    # bucket into numbered 000000/ 000001/ ... subdirs per 1000 files so
+    # scratch dirs stay listable; NOSUBDIRS=TRUE writes a flat directory
+    subdirs = not ui.get_bool("NOSUBDIRS", False)
+    big_endian = not ui.get_bool("NATURALREADORDER",
+                                 sys.byteorder == "big")
+    if ui.get_bool("PRINTCONFIG", False):
+        print()
+        ui.print_config()
+        print()
+    if ui.get_bool("PRINTVERSION", False):
+        from .. import __version__
+        print(f"\n======= TSEGMENTER v{__version__} (nnet_asr_tpu) =======\n")
     ui.check_command_line_param_use()
 
     if p_script is None or p_outdir is None or p_outscp is None:
@@ -44,16 +60,21 @@ def main(argv=None) -> int:
 
     entries = read_scp(p_script)
     lines = []
-    for e in entries:
+    for cnt, e in enumerate(entries):
         base, s, t = FeatureReader.split_range(e.physical)
-        dst = os.path.join(p_outdir, os.path.basename(base))
+        out_dir = p_outdir
+        if subdirs:
+            out_dir = os.path.join(p_outdir, f"{cnt // 1000:06d}")
+            os.makedirs(out_dir, exist_ok=True)
+        dst = os.path.join(out_dir, os.path.basename(base))
         if s is not None and extract:
             # materialize just the segment as its own file
-            data, hdr = htk.read_htk_file(base)
+            data, hdr = htk.read_htk_file(base, big_endian)
             seg = data[s:t + 1]
             root, ext = os.path.splitext(dst)
             dst = f"{root}.{s}_{t}{ext}"
-            htk.write_htk_file(dst, seg, hdr.sample_kind, hdr.sample_period)
+            htk.write_htk_file(dst, seg, hdr.sample_kind, hdr.sample_period,
+                               big_endian)
             lines.append(f"{e.logical}={dst}")
         else:
             if not os.path.exists(dst):

@@ -128,19 +128,21 @@ def min_duration(hmm: Hmm) -> int:
     return max(1, dist[n - 1] if dist[n - 1] < INF else 1)
 
 
-def viterbi_segment(comp: CompositeHmm, log_obs: np.ndarray
+def viterbi_segment(comp: CompositeHmm, log_obs: np.ndarray,
+                    transp_scale: float = 1.0
                     ) -> Optional[Tuple[float, np.ndarray]]:
     """MAP state path through the composite over ``log_obs`` (T, n_states)
     emissions. Returns (log score, state path (T,)) or None if no complete
-    path exists (e.g. fewer frames than the minimum duration)."""
+    path exists (e.g. fewer frames than the minimum duration).
+    ``transp_scale`` multiplies the log transition probs (TRANSPSCALE)."""
     T, N = log_obs.shape
     with np.errstate(divide="ignore"):
-        le = np.where(comp.entry > 0, np.log(np.maximum(comp.entry, 1e-300)),
-                      LOG_ZERO)
-        lA = np.where(comp.trans > 0, np.log(np.maximum(comp.trans, 1e-300)),
-                      LOG_ZERO)
-        lx = np.where(comp.exit > 0, np.log(np.maximum(comp.exit, 1e-300)),
-                      LOG_ZERO)
+        le = transp_scale * np.where(
+            comp.entry > 0, np.log(np.maximum(comp.entry, 1e-300)), LOG_ZERO)
+        lA = transp_scale * np.where(
+            comp.trans > 0, np.log(np.maximum(comp.trans, 1e-300)), LOG_ZERO)
+        lx = transp_scale * np.where(
+            comp.exit > 0, np.log(np.maximum(comp.exit, 1e-300)), LOG_ZERO)
     alpha = le + log_obs[0]
     back = np.zeros((T, N), np.int32)
     for t in range(1, T):
@@ -169,7 +171,8 @@ class LatticeExpander:
                  word_penalty: float = 0.0, frame_rate: float = 100.0,
                  multiple_pronun: bool = True,
                  segmentation: str = "map",
-                 exact_window: Optional[int] = None):
+                 exact_window: Optional[int] = None,
+                 transp_scale: float = 1.0):
         if segmentation not in ("map", "exact"):
             raise ValueError(f"segmentation must be 'map' or 'exact', "
                              f"got {segmentation!r}")
@@ -182,6 +185,7 @@ class LatticeExpander:
         self.multiple_pronun = multiple_pronun
         self.segmentation = segmentation
         self.exact_window = exact_window
+        self.transp_scale = transp_scale
         self._senone_ids = {
             name: h.senone_ids(label_map) for name, h in hmms.items()}
         self._composites: Dict[Tuple[str, ...], CompositeHmm] = {}
@@ -213,7 +217,7 @@ class LatticeExpander:
         """Viterbi phone boundaries inside [t0, t1); None if infeasible."""
         comp = self._composite(phones)
         obs = self.outprb_scale * log_post[t0:t1][:, comp.senones]
-        res = viterbi_segment(comp, obs)
+        res = viterbi_segment(comp, obs, self.transp_scale)
         if res is None:
             return None
         _, path = res

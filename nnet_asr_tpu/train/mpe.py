@@ -68,6 +68,20 @@ class MpeConfig:
     # docs/DEVIATIONS.md §3a at O(k·span²) arcs per word arc.
     exact_segmentation: bool = False
     exact_window: Optional[int] = None
+    # TRANSPSCALE (TMpeCu.cc:266 → decoder.mTranScale, Decoder.tcc:1962):
+    # multiplies the LOG transition probabilities in the within-arc FB
+    transp_scale: float = 1.0
+    # MODELPENALTY (TMpeCu.cc:257 → decoder.mMPenalty, Decoder.tcc:1713):
+    # additive log penalty per model (= per phone arc) entry
+    model_penalty: float = 0.0
+    # OCCUPPSCALE (TMpeCu.cc:267 → decoder.mOcpScale, Decoder.tcc:2732):
+    # exponent on the occupancy part of every gamma contribution,
+    # exp(s·(α+β−P)) == (γ_q·occ)^s in the factorized engine
+    occup_scale: float = 1.0
+    # STARTTIMESHIFT/ENDTIMESHIFT (TMpeCu.cc:294-296, in_net_fmt): shift
+    # every arc's start/end time by these SECONDS when reading lattices
+    start_time_shift: float = 0.0
+    end_time_shift: float = 0.0
 
 
 @dataclass
@@ -249,7 +263,8 @@ class MpeComputer:
                 word_penalty=cfg.word_penalty, frame_rate=cfg.frame_rate,
                 multiple_pronun=not cfg.respect_pronun_var,
                 segmentation="exact" if cfg.exact_segmentation else "map",
-                exact_window=cfg.exact_window)
+                exact_window=cfg.exact_window,
+                transp_scale=cfg.transp_scale)
         self._padded = engine == "jax"
         if self._padded:
             # bucket-padded masked kernels: ONE device call per utterance
@@ -264,20 +279,27 @@ class MpeComputer:
         self._senone_cache = {
             name: h.senone_ids(label_map) for name, h in hmms.items()}
         with np.errstate(divide="ignore"):
+            # TRANSPSCALE multiplies the log transitions (STK stores log
+            # probs in mpMatrixO; Decoder.tcc:1962 scales them by
+            # mTranScale when building the recognition net)
             self._log_tp = {
-                name: np.where(h.transp > 0,
-                               np.log(np.maximum(h.transp, 1e-300)), LOG_ZERO)
+                name: cfg.transp_scale * np.where(
+                    h.transp > 0,
+                    np.log(np.maximum(h.transp, 1e-300)), LOG_ZERO)
                 for name, h in hmms.items()}
 
     # ------------------------------------------------------------------
     def _build_arcs(self, lat: Lattice, log_post: np.ndarray):
         T = log_post.shape[0]
+        # STARTTIMESHIFT/ENDTIMESHIFT: per-arc start/end shift in frames
+        sh0 = int(round(self.cfg.start_time_shift * self.cfg.frame_rate))
+        sh1 = int(round(self.cfg.end_time_shift * self.cfg.frame_rate))
         arcs: List[ArcInfo] = []
         buckets: Dict[Tuple[int, int], List[int]] = {}
         for a in lat.arcs:
             phone = lat.arc_word(a)
-            t0 = min(lat.frame(a.start, self.cfg.frame_rate), T)
-            t1 = min(lat.frame(a.end, self.cfg.frame_rate), T)
+            t0 = min(max(lat.frame(a.start, self.cfg.frame_rate) + sh0, 0), T)
+            t1 = min(max(lat.frame(a.end, self.cfg.frame_rate) + sh1, 0), T)
             if phone is None or phone in ("!NULL", "<s>", "</s>"):
                 arcs.append(ArcInfo(a.start, a.end, t0, t1, phone or "!NULL",
                                     [], log_like=0.0,
@@ -288,8 +310,10 @@ class MpeComputer:
             ids = self._senone_cache[phone]
             if t1 <= t0:
                 raise ValueError(f"Zero-length arc for phone {phone}")
+            # MODELPENALTY enters each model's (= phone arc's) score once
             info = ArcInfo(a.start, a.end, t0, t1, phone, list(ids),
-                           score=self.cfg.lm_scale * a.lm + a.prior)
+                           score=(self.cfg.lm_scale * a.lm + a.prior
+                                  + self.cfg.model_penalty))
             buckets.setdefault((t1 - t0, len(ids)), []).append(len(arcs))
             arcs.append(info)
         return arcs, buckets
@@ -529,11 +553,19 @@ class MpeComputer:
         c_avg = sum(_exp(alpha[i] - logZ) * alpha_acc[i] for i in end_nodes)
 
         # ---- scatter into (frame, senone) ----------------------------
+        # OCCUPPSCALE: exponent on the occupancy part of each gamma
+        # contribution, exp(s·(α+β−P)) per (state, frame) — the analog of
+        # Decoder.tcc:2732/2835 applying mOcpScale to the log occupancy
+        # while the MPE accuracy coefficient stays linear. Factorized:
+        # (γ_q·occ)^s = γ_q^s · occ^s.
+        ocp = self.cfg.occup_scale
+
         def _coef(gq, a):
+            gq_s = gq if ocp == 1.0 else gq ** ocp
             if self.cfg.ml_gamma:
-                return gq
-            return gq * (alpha_acc[a.start] + a.accuracy
-                         + beta_acc[a.end] - c_avg)
+                return gq_s
+            return gq_s * (alpha_acc[a.start] + a.accuracy
+                           + beta_acc[a.end] - c_avg)
 
         if beam is not None:
             # occupancies were deferred; compute them only for arcs that
@@ -551,7 +583,8 @@ class MpeComputer:
             coef = _coef(gq, a)
             if coef == 0.0:
                 continue
-            seg = (coef * utt_weight) * a.occupancy \
+            occ = a.occupancy if ocp == 1.0 else a.occupancy ** ocp
+            seg = (coef * utt_weight) * occ \
                 * fw[a.t0:a.t1][:, None]
             for j, sid in enumerate(a.senones):
                 gammas[a.t0:a.t1, sid] += seg[:, j]

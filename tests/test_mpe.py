@@ -328,3 +328,102 @@ def test_lattice_archive_mlf_transport(tmp_path):
     lat = arch.get("u1.fea")
     assert len(lat.nodes) == 3 and len(lat.arcs) == 2
     assert lat.arc_word(lat.arcs[0]) == "aa"
+
+
+# ---------------------------------------------------------------------------
+# decoder knobs: TRANSPSCALE / MODELPENALTY / OCCUPPSCALE / time shifts
+# ---------------------------------------------------------------------------
+
+def _copy_hmm_pow(h, power):
+    import copy
+
+    h2 = copy.deepcopy(h)
+    h2.transp = h.transp ** power
+    return h2
+
+
+def test_transp_scale_equals_powered_transitions():
+    """TRANSPSCALE=s multiplies log transition probs — identical to
+    running with every transition probability raised to the s-th power
+    (Decoder.tcc:1962 semantics)."""
+    hmms, label_map = _setup()
+    rng = np.random.default_rng(11)
+    log_post = np.log(rng.dirichlet(np.ones(4), size=10)).astype(np.float32)
+    lat = _simple_lattice([(0, 1, "a", -0.2), (0, 1, "b", -0.4)],
+                          [0.0, 0.10])
+    ref = [(0, 10, "a")]
+    scaled = MpeComputer(hmms, label_map, MpeConfig(transp_scale=2.0))
+    powered = MpeComputer({k: _copy_hmm_pow(h, 2.0) for k, h in hmms.items()},
+                          label_map, MpeConfig())
+    g1, a1, l1 = scaled.compute(lat, log_post, ref)
+    g2, a2, l2 = powered.compute(lat, log_post, ref)
+    np.testing.assert_allclose(g1, g2, atol=1e-12)
+    assert l1 == pytest.approx(l2)
+
+
+def test_model_penalty_matches_arc_priors():
+    """MODELPENALTY adds a constant per phone arc — equal to priors of
+    the same value on every phone arc (Decoder.tcc:1713 Penalize)."""
+    hmms, label_map = _setup()
+    rng = np.random.default_rng(12)
+    log_post = np.log(rng.dirichlet(np.ones(4), size=10)).astype(np.float32)
+    ref = [(0, 10, "a")]
+    # path A: one long arc; path B: two arcs — the penalty tilts toward A
+    lat = _simple_lattice([(0, 2, "a", 0.0),
+                           (0, 1, "b", 0.0), (1, 2, "a", 0.0)],
+                          [0.0, 0.05, 0.10])
+    pen = MpeComputer(hmms, label_map, MpeConfig(model_penalty=-1.5))
+    lat2 = _simple_lattice([(0, 2, "a", 0.0),
+                            (0, 1, "b", 0.0), (1, 2, "a", 0.0)],
+                           [0.0, 0.05, 0.10])
+    for a in lat2.arcs:
+        a.prior = -1.5
+    plain = MpeComputer(hmms, label_map, MpeConfig())
+    g1, a1, l1 = pen.compute(lat, log_post, ref)
+    g2, a2, l2 = plain.compute(lat2, log_post, ref)
+    np.testing.assert_allclose(g1, g2, atol=1e-12)
+    assert l1 == pytest.approx(l2)
+    # and it genuinely changes the result vs no penalty
+    g0, _, _ = plain.compute(lat, log_post, ref)
+    assert np.abs(g1 - g0).max() > 1e-6
+
+
+def test_time_shift_equals_shifted_lattice():
+    """Uniform START/ENDTIMESHIFT == shifting every node time in the
+    lattice (in_net_fmt.mStartTimeShift/mEndTimeShift semantics)."""
+    hmms, label_map = _setup()
+    rng = np.random.default_rng(13)
+    log_post = np.log(rng.dirichlet(np.ones(4), size=10)).astype(np.float32)
+    ref = [(0, 10, "a")]
+    lat = _simple_lattice([(0, 1, "a", 0.0), (1, 2, "b", 0.0)],
+                          [0.0, 0.04, 0.08])
+    shifted_cfg = MpeConfig(start_time_shift=0.02, end_time_shift=0.02)
+    g1, _, l1 = MpeComputer(hmms, label_map, shifted_cfg).compute(
+        lat, log_post, ref)
+    lat2 = _simple_lattice([(0, 1, "a", 0.0), (1, 2, "b", 0.0)],
+                           [0.02, 0.06, 0.10])
+    g2, _, l2 = MpeComputer(hmms, label_map, MpeConfig()).compute(
+        lat2, log_post, ref)
+    np.testing.assert_allclose(g1, g2, atol=1e-12)
+    assert l1 == pytest.approx(l2)
+
+
+def test_occup_scale_exponentiates_ml_gammas():
+    """OCCUPPSCALE=s: every gamma contribution is (gamma_q * occ)^s —
+    exp(s*(alpha+beta-P)), Decoder.tcc:2732."""
+    from nnet_asr_tpu.train.mpe import arc_forward_backward
+
+    label_map = {"a_s2": 0, "a_s3": 1, "c_s2": 2, "d_s2": 3}
+    h = _hmm("a", n_emit=2, senone_names=["a_s2", "a_s3"])
+    rng = np.random.default_rng(14)
+    log_post = np.log(rng.dirichlet(np.ones(4), size=6)).astype(np.float32)
+    lat = _simple_lattice([(0, 1, "a", 0.0)], [0.0, 0.06])
+    ref = [(0, 6, "a")]
+    s = 0.7
+    cfg = MpeConfig(ml_gamma=True, occup_scale=s)
+    g, _, _ = MpeComputer({"a": h}, label_map, cfg).compute(
+        lat, log_post, ref)
+    _, occ = arc_forward_backward(log_post[:, [0, 1]], h.transp)
+    want = np.zeros((6, 4))
+    want[:, [0, 1]] = occ ** s          # gamma_q == 1 on a single path
+    np.testing.assert_allclose(g, want, atol=1e-6)
