@@ -65,7 +65,7 @@ def main(argv=None) -> int:
     frame_serial = ui.get_bool("FRAMESERIAL", False)
     trace = ui.get_int("TRACE", 0)
     # recurrent training is CE-only here, as in the reference's actual use
-    obj = ui.get_enum("OBJECTIVEFUNCTION", "ent", ["ent"])
+    ui.get_enum("OBJECTIVEFUNCTION", "ent", ["ent"])
     # accepted for script compatibility; the reference reads and then
     # DISCARDS these too — recurrent training is frame-serial over whole
     # utterances, no bunch cache (TRecurrentCu.cc:218-220)
