@@ -151,8 +151,11 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh,
 
     state = ShardedTrainState(
         params=padded_params,
-        velocity=[{k: jnp.zeros_like(np.asarray(v)) for k, v in p.items()
-                   if k in s.trainable_keys}
+        velocity=[{k: jnp.zeros_like(
+                       np.asarray(v),
+                       dtype=(jnp.bfloat16 if sgd_cfg.velocity_dtype == "bf16"
+                              else None))
+                   for k, v in p.items() if k in s.trainable_keys}
                   for s, p in zip(net.specs, padded_params)],
         param_specs=param_specs,
         out_idx=out_idx, n_out=n_out, n_out_pad=n_out_pad)

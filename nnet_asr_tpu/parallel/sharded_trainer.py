@@ -276,7 +276,9 @@ class ShardedTrainer:
                 arrs[f"p{i}.{k}"] = v
         for i, v in enumerate(st.velocity):
             for k, vv in v.items():
-                arrs[f"v{i}.{k}"] = self._unpad(i, np.asarray(vv))
+                # npz can't represent bf16; store f32, recast on load
+                arrs[f"v{i}.{k}"] = self._unpad(
+                    i, np.asarray(vv, dtype=np.float32))
         arrs["_stats"] = np.asarray(
             [self.stats.error, self.stats.frames,
              getattr(self.stats, "corr", 0)], dtype=np.float64)
@@ -296,8 +298,8 @@ class ShardedTrainer:
              for k, v in p.items()}
             for i, p in enumerate(st.params)]
         st.velocity = [
-            {k: (put(i, k, data[f"v{i}.{k}"]) if f"v{i}.{k}" in data
-                 else jnp.zeros_like(v))
+            {k: (put(i, k, data[f"v{i}.{k}"].astype(v.dtype))
+                 if f"v{i}.{k}" in data else jnp.zeros_like(v))
              for k, v in p.items()}
             for i, p in enumerate(st.velocity)]
         s = data["_stats"]

@@ -196,7 +196,7 @@ def main(argv=None) -> int:
                         lr_factors=SgdConfig.parse_factors(lr_factors))
     factors = tuple(layer_lr_factors(net, sgd_cfg))
     params = [{k: jnp.asarray(v) for k, v in p.items()} for p in net.params]
-    velocity = init_momentum(net, sgd_cfg.momentum)
+    velocity = init_momentum(net, sgd_cfg.momentum, sgd_cfg.velocity_dtype)
     body_specs = net.specs[:-1]
 
     def forward(params, x):

@@ -105,6 +105,10 @@ def main(argv=None) -> int:
     # drain-scan partial unroll (perf knob, docs/KERNELS.md): lets XLA
     # overlap bunch k+1's input slice with bunch k's compute
     scan_unroll = ui.get_int("SCANUNROLL", 8)
+    # velocity STORAGE dtype (perf knob, docs/KERNELS.md): 'bf16' halves
+    # the momentum-mode velocity HBM stream; 'f32' (default) keeps the
+    # reference's exact GPU semantics (cuBiasedLinearity.cc:44-63)
+    velocity_dtype = ui.get_enum("VELOCITYDTYPE", "f32", ["f32", "bf16"])
     ui.check_command_line_param_use()
 
     if p_script is None:
@@ -145,7 +149,9 @@ def main(argv=None) -> int:
         objective="xent" if objective == "ent" else "mse",
         sgd=SgdConfig(learning_rate=learning_rate, momentum=momentum,
                       weightcost=weightcost, l1=l1, grad_div_frm=grad_div_frm,
-                      lr_factors=SgdConfig.parse_factors(lr_factors)),
+                      lr_factors=SgdConfig.parse_factors(lr_factors),
+                      velocity_dtype=(None if velocity_dtype == "f32"
+                                      else velocity_dtype)),
         trace=trace, confusion_mode=confusion_mode, scan_unroll=scan_unroll)
     if mesh_spec or _jax.process_count() > 1:
         from ..parallel.mesh import make_mesh

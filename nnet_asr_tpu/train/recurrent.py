@@ -47,7 +47,7 @@ class RecurrentTrainer:
         self.net = net
         self.cfg = cfg
         self.params = [dict(p) for p in net.params]
-        self.velocity = init_momentum(net, cfg.sgd.momentum)
+        self.velocity = init_momentum(net, cfg.sgd.momentum, cfg.sgd.velocity_dtype)
         self.factors = tuple(layer_lr_factors(net, cfg.sgd))
         self._stats = XentStats()
         self.rec_idx = [i for i, s in enumerate(net.specs)

@@ -324,7 +324,8 @@ class ResidentNewbob:
             # fresh momentum per epoch: the reference's optimizer state
             # lives and dies within an epoch process (SURVEY.md §5)
             tr.velocity = init_momentum(Network(self.net_specs, tr.params),
-                                        self.cfg.sgd.momentum)
+                                        self.cfg.sgd.momentum,
+                                        self.cfg.sgd.velocity_dtype)
             tr.set_learning_rate(lrate)
             stats = self._fresh_stats()
             for st in self._train_stacks:

@@ -34,6 +34,17 @@ class SgdConfig:
     grad_div_frm: bool = True
     # per-updatable-layer lr factors, e.g. (0.1, 0.5, 1.0); None = all 1.0
     lr_factors: Optional[Tuple[float, ...]] = None
+    # Velocity STORAGE dtype: None = f32 (the reference's exact GPU
+    # semantics, cuBiasedLinearity.cc:44-63) | 'bf16' (opt-in perf mode:
+    # halves the velocity read+write HBM traffic that dominates the
+    # momentum-mode step — docs/KERNELS.md; the momentum math still runs
+    # in f32 on the upcast velocity, only the carried state is rounded).
+    velocity_dtype: Optional[str] = None
+
+    def __post_init__(self):
+        if self.velocity_dtype not in (None, "bf16"):
+            raise ValueError(
+                f"velocity_dtype must be None or 'bf16', got {self.velocity_dtype!r}")
 
     @staticmethod
     def parse_factors(s: Optional[str]) -> Optional[Tuple[float, ...]]:
@@ -63,17 +74,20 @@ def layer_lr_factors(net: Network, cfg: SgdConfig) -> List[float]:
     return factors
 
 
-def init_momentum(net: Network, momentum: float = 1.0) -> List[dict]:
+def init_momentum(net: Network, momentum: float = 1.0,
+                  dtype: Optional[str] = None) -> List[dict]:
     """Zero velocity buffers for every trainable parameter.
 
     With momentum == 0 no buffers are allocated (the reference CPU trainer
     has none either) — saves a full parameter-sized read+write per step.
+    ``dtype='bf16'`` stores velocity in bfloat16 (SgdConfig.velocity_dtype).
     """
     if momentum == 0.0:
         return [{} for _ in net.specs]
+    vdt = jnp.bfloat16 if dtype == "bf16" else None
     out = []
     for spec, p in zip(net.specs, net.params):
-        out.append({k: jnp.zeros_like(v) for k, v in p.items()
+        out.append({k: jnp.zeros_like(v, dtype=vdt) for k, v in p.items()
                     if k in spec.trainable_keys})
     return out
 
@@ -104,8 +118,10 @@ def apply_updates(net: Network, params: List[dict], velocity: List[dict],
                 if k not in g or g[k] is None:
                     continue
                 if cfg.momentum != 0.0:
-                    corr = g[k] + cfg.momentum * v[k]
-                    nv_[k] = corr
+                    # momentum math in the grad dtype (f32); only the
+                    # carried velocity state is stored at velocity_dtype
+                    corr = g[k] + cfg.momentum * v[k].astype(g[k].dtype)
+                    nv_[k] = corr.astype(v[k].dtype)
                 else:
                     corr = g[k]
                 w = p[k] - (lr / N) * corr

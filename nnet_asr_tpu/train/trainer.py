@@ -80,7 +80,7 @@ class Trainer:
         self.pipeline = TransformPipeline(transform, start_frm_ext, end_frm_ext)
         self.factors = tuple(layer_lr_factors(net, cfg.sgd))
         self.params = [dict(p) for p in net.params]
-        self.velocity = init_momentum(net, cfg.sgd.momentum)
+        self.velocity = init_momentum(net, cfg.sgd.momentum, cfg.sgd.velocity_dtype)
         self.stats = XentStats() if cfg.objective == "xent" else MseStats()
         self._build_steps()
         self.total_frames = 0
@@ -330,7 +330,9 @@ class Trainer:
                 arrs[f"p{i}.{k}"] = np.asarray(v)
         for i, v in enumerate(self.velocity):
             for k, vv in v.items():
-                arrs[f"v{i}.{k}"] = np.asarray(vv)
+                # npz can't represent bf16 (loads back as raw V2);
+                # store f32 and recast to the live dtype on load
+                arrs[f"v{i}.{k}"] = np.asarray(vv, dtype=np.float32)
         arrs["_rng_x"] = np.asarray([getattr(self, "_cache_rng_x", 0)],
                                     dtype=np.uint64)
         arrs["_stats"] = np.asarray(
@@ -349,7 +351,8 @@ class Trainer:
             for k in self.velocity[i]:
                 key = f"v{i}.{k}"
                 if key in data:
-                    self.velocity[i][k] = jnp.asarray(data[key])
+                    self.velocity[i][k] = jnp.asarray(
+                        data[key], dtype=self.velocity[i][k].dtype)
         st = data["_stats"]
         self.stats.error = float(st[0])
         self.stats.frames = int(st[1])

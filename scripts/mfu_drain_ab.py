@@ -11,7 +11,8 @@ a fresh process so XLA programs don't accumulate HBM).
 
 Configs: unroll1 unroll4 unroll8 unroll16 pallas (fused affine+sigmoid
 + fused softmax-CE at 8192 senones) bf16 mom9 (momentum 0.9 velocity
-traffic).
+traffic) mom9_bf16v (momentum 0.9 with bf16-stored velocity — halves
+the velocity HBM stream, SgdConfig.velocity_dtype).
 """
 
 import argparse
@@ -56,7 +57,9 @@ def run(config, bunch=1024, nb=8, M=8):
     cfg = TrainerConfig(
         bunchsize=bunch, cachesize=bunch * nb, seed=1, randomize=False,
         sgd=SgdConfig(learning_rate=0.01,
-                      momentum=0.9 if config == "mom9" else 0.0),
+                      momentum=0.9 if config.startswith("mom9") else 0.0,
+                      velocity_dtype="bf16" if config == "mom9_bf16v"
+                      else None),
         use_pallas=(config == "pallas"),
         compute_dtype="bf16" if config == "bf16" else None,
         scan_unroll=unroll)
@@ -112,7 +115,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="unroll8",
                     choices=["unroll1", "unroll4", "unroll8", "unroll16",
-                             "pallas", "bf16", "mom9"])
+                             "pallas", "bf16", "mom9", "mom9_bf16v"])
     ap.add_argument("--bunch", type=int, default=1024)
     ap.add_argument("--nb", type=int, default=8)
     ap.add_argument("--M", type=int, default=8)

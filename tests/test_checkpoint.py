@@ -93,3 +93,41 @@ def test_checkpoint_interop_single_chip_and_mesh(tmp_path):
             jax.device_get(sh3.state.params[2]["weight"]))
         assert w.shape[1] == sh3.state.n_out_pad
         assert not w[:, n_out:].any()        # padding restored as zeros
+
+
+def test_checkpoint_roundtrip_bf16_velocity(tmp_path):
+    """velocity_dtype='bf16': npz can't hold bf16, so save_state stores
+    velocity as f32 and load_state recasts to the live dtype — the
+    restored trainer must continue bit-identically to the original."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    specs = (BiasedLinearity(6, 8), Sigmoid(8, 8),
+             BiasedLinearity(8, 4), Softmax(4, 4))
+    P = [{"weight": (0.2 * rng.standard_normal((6, 8))).astype(np.float32),
+          "bias": np.zeros(8, np.float32)}, {},
+         {"weight": (0.2 * rng.standard_normal((8, 4))).astype(np.float32),
+          "bias": np.zeros(4, np.float32)}, {}]
+    cfg = TrainerConfig(bunchsize=16, cachesize=32, randomize=False,
+                        sgd=SgdConfig(learning_rate=0.1, momentum=0.5,
+                                      velocity_dtype="bf16"))
+    tr = Trainer(Network(specs, [dict(p) for p in P]), cfg)
+    X = rng.standard_normal((32, 6)).astype(np.float32)
+    y = rng.integers(0, 4, 32).astype(np.int32)
+    tr.run_epoch(iter([(X, y)]))
+    assert tr.velocity[0]["weight"].dtype == jnp.bfloat16
+    state = str(tmp_path / "state.npz")
+    tr.save_state(state)
+
+    tr2 = Trainer(Network(specs, [dict(p) for p in P]), cfg)
+    tr2.load_state(state)
+    assert tr2.velocity[0]["weight"].dtype == jnp.bfloat16
+    # f32-roundtripped bf16 is exact (bf16 -> f32 -> bf16 is lossless)
+    for i in (0, 2):
+        np.testing.assert_array_equal(
+            np.asarray(tr.velocity[i]["weight"], np.float32),
+            np.asarray(tr2.velocity[i]["weight"], np.float32))
+    tr.run_epoch(iter([(X, y)]))
+    tr2.run_epoch(iter([(X, y)]))
+    np.testing.assert_array_equal(np.asarray(tr.params[0]["weight"]),
+                                  np.asarray(tr2.params[0]["weight"]))

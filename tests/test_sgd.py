@@ -131,3 +131,49 @@ def test_l2_bias_untouched_in_reference_binary(tmp_path, example01):
                                    rtol=3e-5, atol=1e-7)
         checked += 1
     assert checked == 2
+
+
+def test_bf16_velocity_mode_tracks_f32_and_stores_bf16():
+    """SgdConfig(velocity_dtype='bf16') is an opt-in perf mode
+    (docs/KERNELS.md): velocity is STORED bf16 but the momentum math runs
+    in f32 on the upcast state, so a few steps stay close to the exact
+    f32-velocity trajectory; params remain f32. Default (None) is the
+    reference's f32 semantics (cuBiasedLinearity.cc:44-63)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    net = _tiny_net(rng)
+    n_frames = 16
+    trajs = {}
+    for vdt in (None, "bf16"):
+        cfg = SgdConfig(learning_rate=0.05, momentum=0.9, grad_div_frm=True,
+                        velocity_dtype=vdt)
+        params = [{k: jnp.asarray(v) for k, v in p.items()}
+                  for p in net.params]
+        vel = init_momentum(net, cfg.momentum, cfg.velocity_dtype)
+        if vdt == "bf16":
+            assert vel[0]["weight"].dtype == jnp.bfloat16
+        else:
+            assert vel[0]["weight"].dtype == jnp.float32
+        grng = np.random.default_rng(3)
+        for _ in range(5):
+            g = [{k: jnp.asarray((0.1 * grng.standard_normal(v.shape))
+                                 .astype(np.float32))
+                  for k, v in p.items()} for p in params]
+            params, vel = apply_updates(net, params, vel, g, cfg, n_frames,
+                                        layer_lr_factors(net, cfg))
+        assert params[0]["weight"].dtype == jnp.float32
+        if vdt == "bf16":
+            assert vel[0]["weight"].dtype == jnp.bfloat16
+        trajs[vdt] = params
+    for i in (0, 2):
+        for k in ("weight", "bias"):
+            a = np.asarray(trajs[None][i][k], np.float32)
+            b = np.asarray(trajs["bf16"][i][k], np.float32)
+            # bf16 has ~3 decimal digits; 5 steps of rounding stay small
+            np.testing.assert_allclose(a, b, rtol=0, atol=2e-4)
+
+
+def test_velocity_dtype_validation():
+    with pytest.raises(ValueError):
+        SgdConfig(velocity_dtype="fp8")
