@@ -46,12 +46,116 @@ def build(dims, seed=0):
     return Network(tuple(specs), params)
 
 
+def run_fused(config, bunch=1024, nb=8, M=8):
+    """mom9_fused: manual per-layer backward with the Pallas fused
+    wgrad+momentum kernel (ops/pallas/sgd_fused.py) — each layer's
+    velocity/param streams ride the wgrad GEMM's grid instead of
+    scheduling as a post-backward tail. Same math as apply_updates'
+    momentum branch (grad_div_frm + mmt_gain semantics)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from nnet_asr_tpu.ops.pallas.sgd_fused import wgrad_momentum_update
+
+    mom, lr = 0.9, 0.01
+    vdt = jnp.bfloat16 if config == "mom9_fused_bf16v" else jnp.float32
+    rng = np.random.default_rng(0)
+    Ws = [jnp.asarray((0.05 * rng.standard_normal(
+              (DIMS[i], DIMS[i + 1]))).astype(np.float32))
+          for i in range(len(DIMS) - 1)]
+    Bs = [jnp.zeros((DIMS[i + 1],), jnp.float32)
+          for i in range(len(DIMS) - 1)]
+    Vw = [jnp.zeros_like(w, dtype=vdt) for w in Ws]
+    Vb = [jnp.zeros_like(b, dtype=vdt) for b in Bs]
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray((0.1 * rng.standard_normal(
+        (nb, bunch, DIMS[0]))).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, DIMS[-1], (nb, bunch)).astype(np.int32))
+    a = lr / (bunch * (1.0 / (1.0 - mom)))   # lr/N, GRADDIVFRM + mmt_gain
+
+    def step(state, x, y):
+        ws, bs, vw, vb, acc = state
+        hs = [x]
+        for l in range(len(ws) - 1):
+            hs.append(jax.nn.sigmoid(hs[-1] @ ws[l] + bs[l]))
+        z = hs[-1] @ ws[-1] + bs[-1]
+        logp = jax.nn.log_softmax(z, axis=-1)
+        oh = jax.nn.one_hot(y, DIMS[-1], dtype=jnp.float32)
+        acc = {"xent": acc["xent"] - jnp.sum(logp * oh),
+               "correct": acc["correct"] + jnp.sum(
+                   (jnp.argmax(z, -1) == y).astype(jnp.int32)),
+               "frames": acc["frames"] + y.shape[0]}
+        e = jnp.exp(logp) - oh
+        nws, nbs, nvw, nvb = list(ws), list(bs), list(vw), list(vb)
+        for l in range(len(ws) - 1, -1, -1):
+            if l > 0:
+                h = hs[l]
+                e_prev = (e @ ws[l].T) * h * (1.0 - h)
+            nws[l], nvw[l] = wgrad_momentum_update(
+                hs[l], e, ws[l], vw[l], a, mom)
+            gb = jnp.sum(e, axis=0)
+            corr = gb + mom * vb[l].astype(jnp.float32)
+            nvb[l] = corr.astype(vdt)
+            nbs[l] = bs[l] - a * corr
+            if l > 0:
+                e = e_prev
+        return (nws, nbs, nvw, nvb, acc)
+
+    def drain(state, feats, labels):
+        def body(c, batch):
+            return step(c, batch[0], batch[1]), None
+        state, _ = jax.lax.scan(body, state, (feats, labels), unroll=8)
+        return state
+
+    def mega(state, M):
+        return jax.lax.fori_loop(
+            0, M, lambda _, c: drain(c, feats, labels), state)
+
+    mega = jax.jit(mega, static_argnums=(1,), donate_argnums=(0,))
+
+    def mk_zero():
+        return {"xent": jnp.zeros((), jnp.float32),
+                "correct": jnp.zeros((), jnp.int32),
+                "frames": jnp.zeros((), jnp.int32)}
+
+    state = (Ws, Bs, Vw, Vb, mk_zero())
+    t0 = _time.perf_counter()
+    state = mega(state, M)
+    float(state[0][0][0, 0])
+    print(f"[compile+warm {_time.perf_counter()-t0:.1f}s]", flush=True)
+
+    def window(k):
+        best = float("inf")
+        nonlocal state
+        for _ in range(4):
+            t0 = _time.perf_counter()
+            for _ in range(k):
+                state = mega((state[0], state[1], state[2], state[3],
+                              mk_zero()), M)
+            float(state[0][0][0, 0])
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    k1, k2 = 1, 5
+    best = (window(k2) - window(k1)) / ((k2 - k1) * M * nb)
+    n_params = sum(DIMS[i] * DIMS[i + 1] for i in range(len(DIMS) - 1))
+    fl = 3 * 2 * n_params * bunch
+    print(f"{config:10s} bunch={bunch}: {best*1e6:6.0f}us/bunch  "
+          f"{fl/best/1e12:6.1f} TFLOP/s ({fl/best/PEAK_BF16*100:4.1f}% "
+          f"of bf16 peak)", flush=True)
+
+
 def run(config, bunch=1024, nb=8, M=8):
     import jax
     import jax.numpy as jnp
 
     from nnet_asr_tpu.train.sgd import SgdConfig
     from nnet_asr_tpu.train.trainer import Trainer, TrainerConfig
+
+    if config.startswith("mom9_fused"):
+        return run_fused(config, bunch=bunch, nb=nb, M=M)
 
     unroll = {"unroll1": 1, "unroll4": 4, "unroll16": 16}.get(config, 8)
     cfg = TrainerConfig(
@@ -115,7 +219,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="unroll8",
                     choices=["unroll1", "unroll4", "unroll8", "unroll16",
-                             "pallas", "bf16", "mom9", "mom9_bf16v"])
+                             "pallas", "bf16", "mom9", "mom9_bf16v",
+                             "mom9_fused", "mom9_fused_bf16v"])
     ap.add_argument("--bunch", type=int, default=1024)
     ap.add_argument("--nb", type=int, default=8)
     ap.add_argument("--M", type=int, default=8)

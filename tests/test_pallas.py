@@ -92,3 +92,32 @@ def test_fold_affine_rejects_nonlinear():
                   [{"weight": np.eye(4, dtype=np.float32),
                     "bias": np.zeros(4, np.float32)}, {}])
     assert fold_transform(net) is None
+
+
+@pytest.mark.parametrize("vdt", [np.float32, "bf16"])
+def test_wgrad_momentum_update_matches_sgd(vdt):
+    """Fused wgrad+momentum kernel == apply_updates' momentum branch:
+    g = x^T e; v_new = g + m*v; p_new = p - a*(g + m*v)."""
+    from nnet_asr_tpu.ops.pallas.sgd_fused import wgrad_momentum_update
+
+    rng = np.random.default_rng(9)
+    B, In, Out = 96, 130, 70
+    x = (0.1 * rng.standard_normal((B, In))).astype(np.float32)
+    e = (0.1 * rng.standard_normal((B, Out))).astype(np.float32)
+    p = (0.2 * rng.standard_normal((In, Out))).astype(np.float32)
+    v0 = (0.05 * rng.standard_normal((In, Out))).astype(np.float32)
+    m, a = 0.9, 0.003
+    v = jnp.asarray(v0, jnp.bfloat16) if vdt == "bf16" else jnp.asarray(v0)
+
+    p_new, v_new = wgrad_momentum_update(
+        jnp.asarray(x), jnp.asarray(e), jnp.asarray(p), v, a, m,
+        bm=64, bn=128, bk=32)
+
+    g = x.T @ e
+    corr = g + m * np.asarray(v, np.float32)
+    np.testing.assert_allclose(np.asarray(v_new, np.float32), corr,
+                               rtol=2e-2 if vdt == "bf16" else 1e-5,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p_new), p - a * corr,
+                               rtol=1e-4, atol=1e-5)
+    assert v_new.dtype == v.dtype and p_new.dtype == jnp.float32
