@@ -60,6 +60,11 @@ def run_fused(config, bunch=1024, nb=8, M=8):
     from nnet_asr_tpu.ops.pallas.sgd_fused import wgrad_momentum_update
 
     mom, lr = 0.9, 0.01
+    use_kernel = config != "mom9_manual"
+    import os
+    bm = int(os.environ.get("FUSED_BM", 256))
+    bn = int(os.environ.get("FUSED_BN", 256))
+    bk = int(os.environ.get("FUSED_BK", 512))
     vdt = jnp.bfloat16 if config == "mom9_fused_bf16v" else jnp.float32
     rng = np.random.default_rng(0)
     Ws = [jnp.asarray((0.05 * rng.standard_normal(
@@ -93,8 +98,13 @@ def run_fused(config, bunch=1024, nb=8, M=8):
             if l > 0:
                 h = hs[l]
                 e_prev = (e @ ws[l].T) * h * (1.0 - h)
-            nws[l], nvw[l] = wgrad_momentum_update(
-                hs[l], e, ws[l], vw[l], a, mom)
+            if use_kernel:
+                nws[l], nvw[l] = wgrad_momentum_update(
+                    hs[l], e, ws[l], vw[l], a, mom, bm=bm, bn=bn, bk=bk)
+            else:
+                corr_w = hs[l].T @ e + mom * vw[l].astype(jnp.float32)
+                nvw[l] = corr_w.astype(vdt)
+                nws[l] = ws[l] - a * corr_w
             gb = jnp.sum(e, axis=0)
             corr = gb + mom * vb[l].astype(jnp.float32)
             nvb[l] = corr.astype(vdt)
@@ -147,6 +157,138 @@ def run_fused(config, bunch=1024, nb=8, M=8):
           f"of bf16 peak)", flush=True)
 
 
+def run_int8(config, bunch=1024, nb=8, M=8):
+    """int8 training experiment (ROUND_NOTES round-4 #3): per-step
+    per-output-channel weight quantization + dynamic per-tensor
+    activation quantization on the int8 MXU, f32 master params and
+    straight-through-estimator backward. ``int8fwd`` quantizes only the
+    forward GEMMs (1/3 of the step FLOPs); ``int8all`` also runs dgrad
+    (eq @ Wq^T) and wgrad (hq^T @ eq) on the int8 MXU. Throughput probe
+    only — convergence under quantization is NOT validated here."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    lr = 0.01
+    all_int8 = config == "int8all"
+    rng = np.random.default_rng(0)
+    Ws = [jnp.asarray((0.05 * rng.standard_normal(
+              (DIMS[i], DIMS[i + 1]))).astype(np.float32))
+          for i in range(len(DIMS) - 1)]
+    Bs = [jnp.zeros((DIMS[i + 1],), jnp.float32)
+          for i in range(len(DIMS) - 1)]
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray((0.1 * rng.standard_normal(
+        (nb, bunch, DIMS[0]))).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, DIMS[-1], (nb, bunch)).astype(np.int32))
+    a = lr / bunch
+
+    def qw(w):
+        s = jnp.max(jnp.abs(w), axis=0) / 127.0 + 1e-12
+        return jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8), s
+
+    def qx(x):
+        s = jnp.max(jnp.abs(x)) / 127.0 + 1e-12
+        return jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8), s
+
+    def i8mm(xq, sx, wq, sw, dims):
+        acc = jax.lax.dot_general(xq, wq, (dims, ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * sx * sw
+
+    def step(state, x, y):
+        ws, bs, acc = state
+        wqs = [qw(w) for w in ws]
+        hs, hqs = [x], []
+        for l in range(len(ws) - 1):
+            hq, sh = qx(hs[-1])
+            hqs.append((hq, sh))
+            wq, sw = wqs[l]
+            z = i8mm(hq, sh, wq, sw[None, :], (((1,), (0,)))) + bs[l]
+            hs.append(jax.nn.sigmoid(z))
+        hq, sh = qx(hs[-1])
+        hqs.append((hq, sh))
+        wq, sw = wqs[-1]
+        z = i8mm(hq, sh, wq, sw[None, :], (((1,), (0,)))) + bs[-1]
+        logp = jax.nn.log_softmax(z, axis=-1)
+        oh = jax.nn.one_hot(y, DIMS[-1], dtype=jnp.float32)
+        acc = {"xent": acc["xent"] - jnp.sum(logp * oh),
+               "correct": acc["correct"] + jnp.sum(
+                   (jnp.argmax(z, -1) == y).astype(jnp.int32)),
+               "frames": acc["frames"] + y.shape[0]}
+        e = jnp.exp(logp) - oh
+        nws, nbs = list(ws), list(bs)
+        for l in range(len(ws) - 1, -1, -1):
+            if l > 0:
+                h = hs[l]
+                if all_int8:
+                    eq, se = qx(e)
+                    wq, sw = wqs[l]
+                    # dgrad: e @ W^T contracts the OUT dim of both;
+                    # per-channel weight scales fold into eq's columns
+                    # only approximately — this probe uses the max scale
+                    # (throughput-faithful, numerics are STE-approximate)
+                    d = i8mm(eq, se, wq.T, jnp.max(sw), (((1,), (0,))))
+                else:
+                    d = e @ ws[l].T
+                e_prev = d * h * (1.0 - h)
+            if all_int8:
+                eq, se = qx(e)
+                hq, sh = hqs[l]
+                g = i8mm(hq.T, sh, eq, se, (((1,), (0,))))
+            else:
+                g = hs[l].T @ e
+            nws[l] = ws[l] - a * g
+            nbs[l] = bs[l] - a * jnp.sum(e, axis=0)
+            if l > 0:
+                e = e_prev
+        return (nws, nbs, acc)
+
+    def drain(state, feats, labels):
+        def body(c, batch):
+            return step(c, batch[0], batch[1]), None
+        state, _ = jax.lax.scan(body, state, (feats, labels), unroll=8)
+        return state
+
+    def mega(state, M):
+        return jax.lax.fori_loop(
+            0, M, lambda _, c: drain(c, feats, labels), state)
+
+    mega = jax.jit(mega, static_argnums=(1,), donate_argnums=(0,))
+
+    def mk_zero():
+        return {"xent": jnp.zeros((), jnp.float32),
+                "correct": jnp.zeros((), jnp.int32),
+                "frames": jnp.zeros((), jnp.int32)}
+
+    state = (Ws, Bs, mk_zero())
+    t0 = _time.perf_counter()
+    state = mega(state, M)
+    float(state[0][0][0, 0])
+    print(f"[compile+warm {_time.perf_counter()-t0:.1f}s]", flush=True)
+
+    def window(k):
+        best = float("inf")
+        nonlocal state
+        for _ in range(4):
+            t0 = _time.perf_counter()
+            for _ in range(k):
+                state = mega((state[0], state[1], mk_zero()), M)
+            float(state[0][0][0, 0])
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    k1, k2 = 1, 5
+    best = (window(k2) - window(k1)) / ((k2 - k1) * M * nb)
+    n_params = sum(DIMS[i] * DIMS[i + 1] for i in range(len(DIMS) - 1))
+    fl = 3 * 2 * n_params * bunch
+    print(f"{config:10s} bunch={bunch}: {best*1e6:6.0f}us/bunch  "
+          f"{fl/best/1e12:6.1f} effective-TFLOP/s "
+          f"({fl/best/PEAK_BF16*100:4.1f}% of bf16 peak equivalent)",
+          flush=True)
+
+
 def run(config, bunch=1024, nb=8, M=8):
     import jax
     import jax.numpy as jnp
@@ -154,8 +296,10 @@ def run(config, bunch=1024, nb=8, M=8):
     from nnet_asr_tpu.train.sgd import SgdConfig
     from nnet_asr_tpu.train.trainer import Trainer, TrainerConfig
 
-    if config.startswith("mom9_fused"):
+    if config.startswith("mom9_fused") or config == "mom9_manual":
         return run_fused(config, bunch=bunch, nb=nb, M=M)
+    if config.startswith("int8"):
+        return run_int8(config, bunch=bunch, nb=nb, M=M)
 
     unroll = {"unroll1": 1, "unroll4": 4, "unroll16": 16}.get(config, 8)
     cfg = TrainerConfig(
@@ -220,7 +364,8 @@ if __name__ == "__main__":
     ap.add_argument("--config", default="unroll8",
                     choices=["unroll1", "unroll4", "unroll8", "unroll16",
                              "pallas", "bf16", "mom9", "mom9_bf16v",
-                             "mom9_fused", "mom9_fused_bf16v"])
+                             "mom9_fused", "mom9_fused_bf16v", "mom9_manual",
+                             "int8fwd", "int8all"])
     ap.add_argument("--bunch", type=int, default=1024)
     ap.add_argument("--nb", type=int, default=8)
     ap.add_argument("--M", type=int, default=8)
