@@ -109,6 +109,11 @@ def main(argv=None) -> int:
     # the momentum-mode velocity HBM stream; 'f32' (default) keeps the
     # reference's exact GPU semantics (cuBiasedLinearity.cc:44-63)
     velocity_dtype = ui.get_enum("VELOCITYDTYPE", "f32", ["f32", "bf16"])
+    # matmul compute dtype: f32 (parity default), bf16 (explicit bf16
+    # master-cast mode), int8 (fake-quant STE convergence-experiment
+    # mode — the int8 MXU arithmetic in f32, docs/KERNELS.md)
+    compute_dtype = ui.get_enum("COMPUTEDTYPE", "f32",
+                                ["f32", "bf16", "int8"])
     ui.check_command_line_param_use()
 
     if p_script is None:
@@ -152,7 +157,8 @@ def main(argv=None) -> int:
                       lr_factors=SgdConfig.parse_factors(lr_factors),
                       velocity_dtype=(None if velocity_dtype == "f32"
                                       else velocity_dtype)),
-        trace=trace, confusion_mode=confusion_mode, scan_unroll=scan_unroll)
+        trace=trace, confusion_mode=confusion_mode, scan_unroll=scan_unroll,
+        compute_dtype=None if compute_dtype == "f32" else compute_dtype)
     if mesh_spec or _jax.process_count() > 1:
         from ..parallel.mesh import make_mesh
         from ..parallel.sharded_trainer import ShardedTrainer

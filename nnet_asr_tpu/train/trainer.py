@@ -109,9 +109,22 @@ class Trainer:
 
         use_pallas = cfg.pallas_enabled()
         bf16 = cfg.compute_dtype == "bf16"
+        int8 = cfg.compute_dtype == "int8"
 
         def _cast(v):
             return v.astype(jnp.bfloat16) if bf16 else v
+
+        def _fq(t, axis=None):
+            # int8 fake-quant with straight-through gradients: the
+            # quantize-dequantize arithmetic of the int8 MXU path
+            # (per-output-channel weights / per-tensor activations,
+            # train/pipeline.py) computed in f32 so jax.grad sees an
+            # identity — the convergence-experiment mode behind
+            # compute_dtype='int8' (docs/KERNELS.md int8 training)
+            s = (jnp.max(jnp.abs(t), axis=axis, keepdims=axis is not None)
+                 / 127.0 + 1e-12)
+            q = jnp.clip(jnp.round(t / s), -127, 127) * s
+            return t + jax.lax.stop_gradient(q - t)
 
         def forward_logits(params, x):
             from ..models.components import BiasedLinearity as BL, Sigmoid as Sg
@@ -128,7 +141,10 @@ class Trainer:
                                        _cast(params[i]["bias"]))
                     i += 2
                     continue
-                if bf16 and isinstance(spec, BL):
+                if int8 and isinstance(spec, BL):
+                    x = (_fq(x) @ _fq(params[i]["weight"], axis=0)
+                         + params[i]["bias"])
+                elif bf16 and isinstance(spec, BL):
                     x = (x @ _cast(params[i]["weight"])
                          + _cast(params[i]["bias"]))
                 else:
