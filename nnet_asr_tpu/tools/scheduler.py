@@ -72,6 +72,10 @@ def main(argv=None) -> int:
     # stream H2D once per epoch (partial residency, train/resident.py)
     ap.add_argument("--hbm-budget-mb", type=float,
                     default=float(_env("HBM_BUDGET_MB", "0")) or None)
+    # matmul compute dtype (tnet --COMPUTEDTYPE): f32 (parity default) |
+    # bf16 | int8 (fake-quant STE convergence mode, docs/KERNELS.md)
+    ap.add_argument("--compute-dtype", default=_env("COMPUTE_DTYPE"),
+                    choices=[None, "f32", "bf16", "int8"])
     args = ap.parse_args(argv)
 
     for req in ("nn_init", "mlf_train", "mlf_cv", "scp_train", "scp_cv",
@@ -94,6 +98,8 @@ def main(argv=None) -> int:
         common.append("--FEATURETRANSFORM=" + args.feature_transform)
     if args.mesh and not args.resident:
         common.append("--MESH=" + args.mesh)
+    if args.compute_dtype and args.compute_dtype != "f32":
+        common.append("--COMPUTEDTYPE=" + args.compute_dtype)
 
     def parse_accu(log: str) -> float:
         hits = re.findall(r"correct\[([\d.]+)%\]", log)
@@ -146,9 +152,11 @@ def main(argv=None) -> int:
                                       "*/", "lab")
         transform = (Network.read(args.feature_transform)
                      if args.feature_transform else None)
+        cdt = args.compute_dtype if args.compute_dtype not in (None, "f32") \
+            else None
         tcfg = TrainerConfig(
             bunchsize=args.bunchsize, cachesize=args.cachesize,
-            seed=args.seed, randomize=True,
+            seed=args.seed, randomize=True, compute_dtype=cdt,
             sgd=SgdConfig(learning_rate=args.learnrate,
                           momentum=args.momentum,
                           weightcost=args.weightcost))
