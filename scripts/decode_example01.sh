@@ -32,10 +32,13 @@ PYTHONPATH=/root/repo python -m nnet_asr_tpu.tools.gen_phone_loop \
 PYTHONPATH=/root/repo python -m nnet_asr_tpu.tools.gen_gmmbypass \
   lib/mono_state_phn_set_135_phn $D/HTK_gmmbypass.mmf --state-sep=_s
 
+# NNET_DECODE_EXTRA: extra tfeacat flags (e.g. --INT8=true to decode
+# with the int8 inference path — matched-condition decode of
+# quantization-trained models, docs/KERNELS.md)
 PYTHONPATH=/root/repo python -m nnet_asr_tpu.tools.tfeacat \
   -S lib/test.scp -H "$NNET" -l $D/posteriors -y htk_post \
   --FEATURETRANSFORM=lib/Hamm_dct_norm --GMMBYPASS=true \
-  --START-FRM-EXT=25 --END-FRM-EXT=25
+  --START-FRM-EXT=25 --END-FRM-EXT=25 ${NNET_DECODE_EXTRA:-}
 ls $D/posteriors/* > $D/posteriors.scp
 
 $STK/SVite -T 0 -w $D/phoneloop.net -S $D/posteriors.scp \
