@@ -109,7 +109,12 @@ class Trainer:
 
         use_pallas = cfg.pallas_enabled()
         bf16 = cfg.compute_dtype == "bf16"
-        int8 = cfg.compute_dtype == "int8"
+        int8 = cfg.compute_dtype in ("int8", "int8pf")
+        # 'int8pf': per-frame (row) activation scales instead of
+        # per-tensor — finer, and still MXU-valid (a row scale factors
+        # out of the contraction like the per-output-channel weight
+        # scale). The QAT-refinement experiment of docs/KERNELS.md.
+        act_axis = -1 if cfg.compute_dtype == "int8pf" else None
 
         def _cast(v):
             return v.astype(jnp.bfloat16) if bf16 else v
@@ -142,7 +147,8 @@ class Trainer:
                     i += 2
                     continue
                 if int8 and isinstance(spec, BL):
-                    x = (_fq(x) @ _fq(params[i]["weight"], axis=0)
+                    x = (_fq(x, axis=act_axis)
+                         @ _fq(params[i]["weight"], axis=0)
                          + params[i]["bias"])
                 elif bf16 and isinstance(spec, BL):
                     x = (x @ _cast(params[i]["weight"])
