@@ -113,7 +113,7 @@ def main(argv=None) -> int:
     # master-cast mode), int8 (fake-quant STE convergence-experiment
     # mode — the int8 MXU arithmetic in f32, docs/KERNELS.md)
     compute_dtype = ui.get_enum("COMPUTEDTYPE", "f32",
-                                ["f32", "bf16", "int8", "int8pf"])
+                                ["f32", "bf16", "int8", "int8pf", "int8full"])
     ui.check_command_line_param_use()
 
     if p_script is None:

@@ -109,7 +109,7 @@ class Trainer:
 
         use_pallas = cfg.pallas_enabled()
         bf16 = cfg.compute_dtype == "bf16"
-        int8 = cfg.compute_dtype in ("int8", "int8pf")
+        int8 = cfg.compute_dtype in ("int8", "int8pf", "int8full")
         # 'int8pf': per-frame (row) activation scales instead of
         # per-tensor — finer, and still MXU-valid (a row scale factors
         # out of the contraction like the per-output-channel weight
@@ -147,9 +147,15 @@ class Trainer:
                     i += 2
                     continue
                 if int8 and isinstance(spec, BL):
-                    x = (_fq(x, axis=act_axis)
-                         @ _fq(params[i]["weight"], axis=0)
-                         + params[i]["bias"])
+                    if cfg.compute_dtype == "int8full":
+                        # all three GEMMs quantized (ops/int8_train.py)
+                        from ..ops.int8_train import qmatmul
+                        x = qmatmul(x, params[i]["weight"]) \
+                            + params[i]["bias"]
+                    else:
+                        x = (_fq(x, axis=act_axis)
+                             @ _fq(params[i]["weight"], axis=0)
+                             + params[i]["bias"])
                 elif bf16 and isinstance(spec, BL):
                     x = (x @ _cast(params[i]["weight"])
                          + _cast(params[i]["bias"]))

@@ -189,7 +189,9 @@ def run_int8(config, bunch=1024, nb=8, M=8):
         return jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8), s
 
     def qx(x):
-        s = jnp.max(jnp.abs(x)) / 127.0 + 1e-12
+        # per-frame (row) scales — the int8pf scheme that holds
+        # convergence (docs/KERNELS.md); rows factor out of the dot
+        s = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0 + 1e-12
         return jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8), s
 
     def i8mm(xq, sx, wq, sw, dims):
@@ -234,9 +236,14 @@ def run_int8(config, bunch=1024, nb=8, M=8):
                     d = e @ ws[l].T
                 e_prev = d * h * (1.0 - h)
             if all_int8:
-                eq, se = qx(e)
-                hq, sh = hqs[l]
-                g = i8mm(hq.T, sh, eq, se, (((1,), (0,))))
+                # wgrad contracts the bunch dim, so per-frame scales do
+                # NOT factor out — quantize per-tensor for this GEMM
+                se_t = jnp.max(jnp.abs(e)) / 127.0 + 1e-12
+                eq = jnp.clip(jnp.round(e / se_t), -127, 127).astype(jnp.int8)
+                h = hs[l]
+                sh_t = jnp.max(jnp.abs(h)) / 127.0 + 1e-12
+                hq = jnp.clip(jnp.round(h / sh_t), -127, 127).astype(jnp.int8)
+                g = i8mm(hq.T, sh_t, eq, se_t, (((1,), (0,))))
             else:
                 g = hs[l].T @ e
             nws[l] = ws[l] - a * g
