@@ -21,9 +21,13 @@ gradient never exists in HBM at all:
     v_new = corr                    (stored at v's dtype; math in f32)
     p_new = p - a * corr            (a = lr/N, runtime SMEM scalar)
 
-Used by the ``mom9_fused`` probe config (scripts/mfu_drain_ab.py) and the
-momentum fast path; semantics identical to train/sgd.py apply_updates
-(momentum branch) — asserted in tests/test_pallas.py.
+Used by the ``mom9_fused`` probe config (scripts/mfu_drain_ab.py) only —
+the production momentum path stays on XLA because this kernel measured
+SLOWER at every compilable block config (a pallas_call is opaque to the
+latency-hiding scheduler; docs/KERNELS.md momentum table). Kept for
+re-measurement on future XLA/Mosaic releases; semantics identical to
+train/sgd.py apply_updates (momentum branch) — asserted in
+tests/test_pallas.py.
 """
 
 from __future__ import annotations
@@ -82,7 +86,10 @@ def wgrad_momentum_update(x, e, p, v, a, m: float,
     B2, Out = e.shape
     assert B == B2 and p.shape == (In, Out) and v.shape == (In, Out)
 
-    bm = min(bm, -(-In // 8) * 8)
+    # bm is the LANE dim of the x tile (bk, bm): Mosaic requires lane dims
+    # that are multiples of 128 (width-8 was interpret-mode-only and failed
+    # to compile on real TPUs for In like 130 — ADVICE r3)
+    bm = min(bm, -(-In // 128) * 128)
     bn = min(bn, -(-Out // 128) * 128)
     bk = min(bk, -(-B // 8) * 8)
     xp = _pad_to(x, bk, bm)

@@ -106,7 +106,8 @@ def _find_output_layer(net: Network, objective: str):
 
 
 def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh,
-                            objective: str = "xent", scan_unroll: int = 1):
+                            objective: str = "xent", scan_unroll: int = 1,
+                            compute_dtype: Optional[str] = None):
     """Build (state, step_fn, eval_fn, fns) for training on a (data, model)
     mesh.
 
@@ -117,9 +118,43 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh,
     ``drain_train`` takes an optional runtime ``lr`` scalar (newbob halving
     without recompiles, as in train.Trainer) and partially unrolls the
     bunch scan by ``scan_unroll`` (docs/KERNELS.md).
+
+    ``compute_dtype`` mirrors TrainerConfig.compute_dtype on the mesh:
+    'bf16' runs the BiasedLinearity matmuls in bfloat16 (f32 master
+    params/loss/update); 'int8'/'int8pf' run the fake-quant STE modes.
+    The per-tensor activation scale of plain 'int8' is a pmax over the
+    ``data`` axis so it sees the GLOBAL bunch max, matching the
+    single-chip semantics exactly; 'int8pf' (per-frame) and the
+    per-output-column weight scales are shard-local by construction.
+    'int8full' (real int8 GEMMs) is single-chip-only — rejected here
+    rather than silently ignored (ADVICE r3).
     """
     if objective not in ("xent", "mse"):
         raise ValueError(f"unknown objective {objective!r}")
+    if compute_dtype not in (None, "bf16", "int8", "int8pf"):
+        raise ValueError(
+            f"compute_dtype {compute_dtype!r} is not supported on a mesh "
+            "(supported: bf16, int8, int8pf; int8full is single-chip-only)")
+    bf16 = compute_dtype == "bf16"
+    int8 = compute_dtype in ("int8", "int8pf")
+    act_axis = -1 if compute_dtype == "int8pf" else None
+
+    def _cast(v):
+        return v.astype(jnp.bfloat16) if bf16 else v
+
+    def _fq(t, axis=None, global_bunch=False):
+        # fake-quant with straight-through gradients, identical math to
+        # train.Trainer._fq; for the per-tensor activation scale the max
+        # rides a pmax over the data axis so every shard quantizes with
+        # the global bunch scale (s is inside stop_gradient's cone: the
+        # STE makes d(fq)/dt identity, so the collective carries no grad)
+        amax = jnp.max(jnp.abs(jax.lax.stop_gradient(t)), axis=axis,
+                       keepdims=axis is not None)
+        if global_bunch and axis is None:
+            amax = jax.lax.pmax(amax, "data")
+        s = amax / 127.0 + 1e-12
+        q = jnp.clip(jnp.round(t / s), -127, 127) * s
+        return t + jax.lax.stop_gradient(q - t)
     out_idx, block_dims, has_softmax = _find_output_layer(net, objective)
     body_specs = net.specs[:out_idx]
     n_out = net.specs[out_idx].n_outputs
@@ -161,11 +196,23 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh,
         out_idx=out_idx, n_out=n_out, n_out_pad=n_out_pad)
 
     # ---- local (per-shard) loss --------------------------------------
+    def _bl_matmul(p, h):
+        """One BiasedLinearity under the compute-dtype policy (matches
+        train.Trainer.forward_logits branch for branch)."""
+        if int8:
+            return (_fq(h, axis=act_axis, global_bunch=True)
+                    @ _fq(p["weight"], axis=0) + p["bias"])
+        return _cast(h) @ _cast(p["weight"]) + _cast(p["bias"])
+
     def local_logits(params, feats):
-        h = feats
+        h = _cast(feats)
         for spec, p in zip(body_specs, params[:out_idx]):
-            h = spec.apply(p, h)
-        return h @ params[out_idx]["weight"] + params[out_idx]["bias"]
+            if isinstance(spec, BiasedLinearity) and (bf16 or int8):
+                h = _bl_matmul(p, h)
+            else:
+                h = spec.apply(p, h)
+        out = _bl_matmul(params[out_idx], h)
+        return out.astype(jnp.float32) if bf16 else out
 
     def softmax_ce_loss(params, feats, labels):
         """Fully-distributed CE: normalizer as psum/pmax scalars per row."""

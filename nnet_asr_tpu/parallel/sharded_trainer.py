@@ -61,10 +61,15 @@ class ShardedTrainer:
         self.cfg = cfg
         self.mesh = mesh
         self.pipeline = TransformPipeline(transform, start_frm_ext, end_frm_ext)
+        if cfg.pallas_enabled():
+            raise ValueError(
+                "use_pallas has no mesh implementation; run single-chip "
+                "(the sharded step's XLA path is the production one)")
         self.state, self._step, self._eval, self._fns = \
             make_sharded_train_step(net, cfg.sgd, mesh,
                                     objective=cfg.objective,
-                                    scan_unroll=cfg.scan_unroll)
+                                    scan_unroll=cfg.scan_unroll,
+                                    compute_dtype=cfg.compute_dtype)
         self.state.to_device(mesh)
         self._lr = jnp.float32(cfg.sgd.learning_rate)
         self.stats = XentStats() if cfg.objective == "xent" else MseStats()

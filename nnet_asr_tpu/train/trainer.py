@@ -138,7 +138,12 @@ class Trainer:
             i = 0
             while i < len(body_specs):
                 spec = body_specs[i]
-                if (use_pallas and isinstance(spec, BL)
+                # int8 fake-quant takes precedence over the Pallas
+                # affine+sigmoid fusion: quantization is the user's stated
+                # numerics experiment, the fusion is only a speed knob
+                # (previously the fusion branch silently un-quantized
+                # BL+Sigmoid pairs — ADVICE r3)
+                if (use_pallas and not int8 and isinstance(spec, BL)
                         and i + 1 < len(body_specs)
                         and isinstance(body_specs[i + 1], Sg)):
                     from ..ops.pallas.matmul_act import affine_sigmoid

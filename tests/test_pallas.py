@@ -133,7 +133,6 @@ def test_int8_fake_quant_training_mode():
     from nnet_asr_tpu.train.trainer import Trainer, TrainerConfig
 
     rng = np.random.default_rng(2)
-    specs = (Network,)  # placeholder avoided; build below
     from nnet_asr_tpu.models import BiasedLinearity, Sigmoid, Softmax
     specs = (BiasedLinearity(10, 16), Sigmoid(16, 16),
              BiasedLinearity(16, 6), Softmax(6, 6))

@@ -191,6 +191,69 @@ def test_sharded_gathered_heads(head, objective):
     assert int(acc["frames"]) == ref.stats.frames
 
 
+@pytest.mark.parametrize("cdt,rtol", [
+    ("bf16", 2e-2),      # bf16 matmuls: shard-count-dependent rounding
+    ("int8", 3e-4),      # fake-quant in f32: per-tensor scale pmax'd global
+    ("int8pf", 3e-4),    # per-frame scale is shard-local by construction
+])
+def test_sharded_compute_dtype_matches_single_chip(cdt, rtol):
+    """--COMPUTEDTYPE under --MESH must actually quantize (ADVICE r3: it
+    was silently ignored) and track the single-chip trajectory."""
+    rng = np.random.default_rng(7)
+    net = _mlp(rng)
+    sgd_cfg = SgdConfig(learning_rate=0.05, momentum=0.5, grad_div_frm=True)
+    bunches = [(rng.standard_normal((32, 16)).astype(np.float32),
+                rng.integers(0, 24, 32).astype(np.int32)) for _ in range(3)]
+
+    cfg = TrainerConfig(bunchsize=32, cachesize=96, randomize=False,
+                        sgd=sgd_cfg, compute_dtype=cdt)
+    ref = Trainer(Network(net.specs, [dict(p) for p in net.params]), cfg)
+    for X, labels in bunches:
+        acc = ref._zero_acc()
+        ref.params, ref.velocity, acc = ref._train_step(
+            ref.params, ref.velocity, acc, jnp.asarray(X), jnp.asarray(labels))
+        ref._merge_acc(acc)
+
+    mesh = make_mesh(data=4, model=2)
+    state, step, evalf, _ = make_sharded_train_step(
+        net, sgd_cfg, mesh, compute_dtype=cdt)
+    state.to_device(mesh)
+    acc = zero_acc()
+    with jax.default_matmul_precision("highest"):
+        for X, labels in bunches:
+            state.params, state.velocity, acc = step(
+                state.params, state.velocity, acc,
+                jnp.asarray(X), jnp.asarray(labels))
+    for i in (0, 2):
+        for k in ("weight", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(state.params[i][k]), np.asarray(ref.params[i][k]),
+                rtol=rtol, atol=rtol * 0.1,
+                err_msg=f"layer {i} {k} compute_dtype={cdt}")
+    # the quantized trajectory must DIFFER from an f32 run (proof the knob
+    # is live on the mesh, not silently f32)
+    f32_state, f32_step, _, _ = make_sharded_train_step(net, sgd_cfg, mesh)
+    f32_state.to_device(mesh)
+    acc2 = zero_acc()
+    with jax.default_matmul_precision("highest"):
+        for X, labels in bunches:
+            f32_state.params, f32_state.velocity, acc2 = f32_step(
+                f32_state.params, f32_state.velocity, acc2,
+                jnp.asarray(X), jnp.asarray(labels))
+    assert not np.allclose(np.asarray(state.params[0]["weight"]),
+                           np.asarray(f32_state.params[0]["weight"]),
+                           rtol=1e-7, atol=1e-9)
+
+
+def test_sharded_compute_dtype_rejects_int8full():
+    rng = np.random.default_rng(8)
+    net = _mlp(rng)
+    mesh = make_mesh(data=4, model=2)
+    with pytest.raises(ValueError, match="int8full"):
+        make_sharded_train_step(net, SgdConfig(), mesh,
+                                compute_dtype="int8full")
+
+
 def test_sharded_eval():
     rng = np.random.default_rng(1)
     net = _mlp(rng)
