@@ -33,6 +33,7 @@ from ..train.sgd import SgdConfig, apply_updates, init_momentum, layer_lr_factor
 from ..utils.config import UserInterface
 
 OPTION_STRING = (
+    " -c n   CROSSVALIDATE=TRUE"
     " -m r   OUTPUTLABELMAP"
     " -n r   LEARNINGRATE"
     " -D n   PRINTCONFIG=TRUE"
@@ -124,6 +125,13 @@ def main(argv=None) -> int:
     # but whose source is absent from the fork (src/Makefile:46).
     mmi = ui.get_bool("MMI", False)
     show_gamma = ui.get_bool("SHOWGAMMA", False)
+    # beyond-parity: evaluate the MPE criterion without updating (the
+    # reference TMpeCu trains only; tnet's -c analog). With no update
+    # dependency the NN forwards pipeline ``LOOKAHEAD`` utterances deep —
+    # the device computes utterance i+1..i+k's posteriors while the host
+    # runs utterance i's lattice forward-backward.
+    crossval = ui.get_bool("CROSSVALIDATE", False)
+    lookahead = ui.get_int("LOOKAHEAD", 8)
     # within-arc forward-backward engine: 'jax' batches the recursions on
     # the accelerator next to the NN forward pass (ops/mpe_device.py,
     # parity-tested vs the numpy engine); 'auto' picks jax whenever a
@@ -223,28 +231,54 @@ def main(argv=None) -> int:
 
     update_j = jax.jit(update, donate_argnums=(0, 1))
 
-    print("===== TMpe TRAINING STARTED =====")
+    print(f"===== TMpe {'CROSSVALIDATION' if crossval else 'TRAINING'} "
+          f"STARTED =====")
     t0 = time.time()
     frames = 0
     acc_sum = 0.0
     n_utts = 0
-    t_decode = 0.0
-    for e in entries:
-        feats_ext = reader.read(e.physical, e.logical)
-        # bucket-padded transform + forward: one compiled program per
-        # shape bucket instead of per distinct utterance length
-        feats, T = pipe.transform_block([feats_ext])
-        log_post = np.asarray(forward_j(params, feats))[:T]
+    t_read = 0.0      # prefetch wait (I/O not hidden by the pipeline)
+    t_fwd = 0.0       # device forward dispatch + posterior fetch
+    t_decode = 0.0    # host lattice forward-backward
+    t_update = 0.0    # device update dispatch
 
+    # ---- prefetch pipeline -------------------------------------------
+    # Everything weight-INDEPENDENT per utterance — feature read, frame
+    # labels, reference segmentation, lattice read+parse — runs on a
+    # reader pool ahead of the training loop (the Platform reader-thread
+    # analog, Platform.h:201-245; lattice parsing dominates host time at
+    # corpus scale). The weight-dependent work (NN forward, lattice FB on
+    # the current posteriors, update) stays in order on the main thread.
+    # FeatureReader keeps per-read state -> one copy per worker thread;
+    # MlfReader's seek+read is lock-atomic, so LatticeArchive.get is safe.
+    import copy as _copy
+    import threading
+
+    from ..utils.prefetch import prefetch_map
+
+    tls = threading.local()
+    s_ext = feaparams["start_frm_ext"]
+    e_ext = feaparams["end_frm_ext"]
+
+    def read_one(e):
+        rd = getattr(tls, "reader", None)
+        if rd is None:
+            rd = tls.reader = _copy.copy(reader)
+        feats_ext = rd.read(e.physical, e.logical)
+        T = feats_ext.shape[0] - s_ext - e_ext
         labs = labels_repo.get_frame_labels(
-            T, reader.last_header.sample_period, e.logical)
-        ref_segments = labels_to_phone_segments(labs, label_names)
+            T, rd.last_header.sample_period, e.logical)
+        segs = labels_to_phone_segments(labs, label_names)
         lat = lattices.get(e.logical)
+        return e, feats_ext, T, labs, segs, lat
 
-        # per-utterance pruning threshold with the reference's
-        # widen-and-retry loop (TMpeCu.cc:570-609); NFRAMEOUTPNORM divides
-        # the decoder-internal kappa and all thresholds by n_frames (the
-        # error scale below keeps the original kappa, TMpeCu.cc:630)
+    def lattice_fb(e, T, labs, segs, lat, log_post):
+        """Per-utterance FB with the reference's widen-and-retry pruning
+        loop (TMpeCu.cc:570-609); NFRAMEOUTPNORM divides the decoder-
+        internal kappa and all thresholds by n_frames (the error scale
+        below keeps the original kappa, TMpeCu.cc:630). Returns
+        (gammas|None, avg_acc, thresh_used)."""
+        nonlocal mpe, probe_pending
         thresh, prn_step, prn_limit = state_pruning, stprn_step, stprn_limit
         mpe.cfg.outprb_scale = outprb_scale
         if nframeoutpnorm:
@@ -252,13 +286,11 @@ def main(argv=None) -> int:
             thresh /= T
             prn_step /= T
             prn_limit /= T
-
-        td = time.time()
-        gammas = None
+        gammas, avg_acc = None, 0.0
         while True:
             try:
                 gammas, avg_acc, _ = mpe.compute(
-                    lat, log_post, ref_segments, utt_weight=e.weight,
+                    lat, log_post, segs, utt_weight=e.weight,
                     pruning=thresh)
                 break
             except FloatingPointError:
@@ -275,24 +307,21 @@ def main(argv=None) -> int:
                 print(f"WARNING: Overpruning or bad data in file "
                       f"{e.logical}, trying pruning threshold: {thresh:g}",
                       file=sys.stderr)
-        t_decode += time.time() - td
-        if gammas is None:
-            continue
-        if probe_pending:
+        if gammas is not None and probe_pending:
             # one-utterance engine probe: re-run this utterance's FB on
             # both engines and keep the faster one for the rest of the run
             probe_pending = False
             tn = time.time()
-            mpe.compute(lat, log_post, ref_segments, utt_weight=e.weight,
+            mpe.compute(lat, log_post, segs, utt_weight=e.weight,
                         pruning=thresh)
             tn = time.time() - tn
             jax_mpe = MpeComputer(hmms, labels_repo.label_map, mpe.cfg,
                                   engine="jax", dictionary=dictionary)
             try:
-                jax_mpe.compute(lat, log_post, ref_segments,
+                jax_mpe.compute(lat, log_post, segs,
                                 utt_weight=e.weight, pruning=thresh)  # compile
                 tj = time.time()
-                jax_mpe.compute(lat, log_post, ref_segments,
+                jax_mpe.compute(lat, log_post, segs,
                                 utt_weight=e.weight, pruning=thresh)
                 tj = time.time() - tj
             except Exception:
@@ -302,26 +331,86 @@ def main(argv=None) -> int:
             print(f"[MPEENGINE auto] numpy {tn * 1e3:.1f}ms vs device "
                   f"{tj * 1e3:.1f}ms per utterance -> "
                   f"{'jax' if tj < tn else 'numpy'}", flush=True)
-        if show_gamma:
+        if show_gamma and gammas is not None:
             print(f"{e.logical}: avgAcc {avg_acc:.4f}")
+        return gammas, avg_acc
 
-        if mmi:
-            # numerator = forced alignment one-hot; denominator = ML
-            # occupancies of the lattice
-            num = np.zeros_like(gammas)
-            num[np.arange(T), labs] = 1.0
-            gammas = num - gammas
-        err_pad = np.zeros((feats.shape[0], gammas.shape[1]), np.float32)
-        err_pad[:T] = -outprb_scale * gammas
-        params, velocity = update_j(params, velocity, feats,
-                                    jnp.asarray(err_pad), jnp.float32(T))
+    def consume(e, T, labs, segs, lat, log_post, feats):
+        """FB + (in training mode) error backprop + update dispatch."""
+        nonlocal frames, acc_sum, n_utts, t_decode, t_update
+        nonlocal params, velocity
+        td = time.time()
+        gammas, avg_acc = lattice_fb(e, T, labs, segs, lat, log_post)
+        t_decode += time.time() - td
+        if gammas is None:
+            return
+        if not crossval:
+            if mmi:
+                # numerator = forced alignment one-hot; denominator = ML
+                # occupancies of the lattice
+                num = np.zeros_like(gammas)
+                num[np.arange(T), labs] = 1.0
+                gammas = num - gammas
+            err_pad = np.zeros((feats.shape[0], gammas.shape[1]), np.float32)
+            err_pad[:T] = -outprb_scale * gammas
+            tu = time.time()
+            params, velocity = update_j(params, velocity, feats,
+                                        jnp.asarray(err_pad), jnp.float32(T))
+            t_update += time.time() - tu
         frames += T
         acc_sum += avg_acc
         n_utts += 1
         if trace & 2:
             print(".", end="", flush=True)
 
-    if p_targetmmf:
+    reads = prefetch_map(read_one, entries, workers=4,
+                         depth=max(2 * lookahead, 16))
+    if crossval:
+        # fixed params: dispatch up to ``lookahead`` forwards before the
+        # first fetch — host FB overlaps the device's queued forwards
+        from collections import deque
+        pend = deque()
+
+        def drain_one():
+            nonlocal t_fwd
+            e, T, labs, segs, lat, feats, dev = pend.popleft()
+            tf = time.time()
+            log_post = np.asarray(dev)[:T]
+            t_fwd += time.time() - tf
+            consume(e, T, labs, segs, lat, log_post, feats)
+
+        for item in reads:
+            tr = time.time()
+            e, feats_ext, T, labs, segs, lat = item
+            t_read += time.time() - tr
+            # bucket-padded transform + forward: one compiled program per
+            # shape bucket instead of per distinct utterance length
+            feats, _ = pipe.transform_block([feats_ext])
+            pend.append((e, T, labs, segs, lat, feats,
+                         forward_j(params, feats)))
+            if len(pend) > lookahead:
+                drain_one()
+        while pend:
+            drain_one()
+    else:
+        # sequential SGD semantics (TMpeCu.cc:461-672): utterance i+1's
+        # forward must see utterance i's update, so forwards can't run
+        # ahead — the pipeline hides the I/O instead
+        it = iter(reads)
+        while True:
+            tr = time.time()
+            try:
+                e, feats_ext, T, labs, segs, lat = next(it)
+            except StopIteration:
+                break
+            t_read += time.time() - tr
+            tf = time.time()
+            feats, _ = pipe.transform_block([feats_ext])
+            log_post = np.asarray(forward_j(params, feats))[:T]
+            t_fwd += time.time() - tf
+            consume(e, T, labs, segs, lat, log_post, feats)
+
+    if p_targetmmf and not crossval:
         host = [{k: np.asarray(v) for k, v in p.items()} for p in params]
         Network(net.specs, host).write(p_targetmmf)
 
@@ -331,6 +420,8 @@ def main(argv=None) -> int:
           f"[FPS:{fps:.1f},RT:{fps / 100.0:.4f}] =====")
     print(f"Avg MPE accuracy: {acc_sum / max(n_utts, 1):.6g} "
           f"utts: {n_utts} T-decode: {t_decode:.2f}s")
+    print(f"T-read: {t_read:.2f}s T-fwd: {t_fwd:.2f}s "
+          f"T-decode: {t_decode:.2f}s T-update: {t_update:.2f}s")
     return 0
 
 

@@ -278,6 +278,7 @@ class MpeComputer:
         self._arc_fwd_batch = arc_forward_batch
         self._senone_cache = {
             name: h.senone_ids(label_map) for name, h in hmms.items()}
+        self._tp_stacks: Dict[int, tuple] = {}   # n_states -> (stack, index)
         with np.errstate(divide="ignore"):
             # TRANSPSCALE multiplies the log transitions (STK stores log
             # probs in mpMatrixO; Decoder.tcc:1962 scales them by
@@ -294,16 +295,28 @@ class MpeComputer:
         # STARTTIMESHIFT/ENDTIMESHIFT: per-arc start/end shift in frames
         sh0 = int(round(self.cfg.start_time_shift * self.cfg.frame_rate))
         sh1 = int(round(self.cfg.end_time_shift * self.cfg.frame_rate))
+        # node times -> frames once (lat.frame per arc end was a measured
+        # hot spot at 16k-arc lattice scale)
+        nframe = np.rint(np.fromiter(
+            (nd.time for nd in lat.nodes), np.float64,
+            len(lat.nodes)) * self.cfg.frame_rate).astype(np.int64)
+        m = len(lat.arcs)
+        starts = np.fromiter((a.start for a in lat.arcs), np.int64, m)
+        ends = np.fromiter((a.end for a in lat.arcs), np.int64, m)
+        t0s = np.clip(nframe[starts] + sh0, 0, T)
+        t1s = np.clip(nframe[ends] + sh1, 0, T)
+        base = (self.cfg.lm_scale
+                * np.fromiter((a.lm for a in lat.arcs), np.float64, m)
+                + np.fromiter((a.prior for a in lat.arcs), np.float64, m))
         arcs: List[ArcInfo] = []
         buckets: Dict[Tuple[int, int], List[int]] = {}
-        for a in lat.arcs:
+        for i, a in enumerate(lat.arcs):
             phone = lat.arc_word(a)
-            t0 = min(max(lat.frame(a.start, self.cfg.frame_rate) + sh0, 0), T)
-            t1 = min(max(lat.frame(a.end, self.cfg.frame_rate) + sh1, 0), T)
+            t0 = int(t0s[i])
+            t1 = int(t1s[i])
             if phone is None or phone in ("!NULL", "<s>", "</s>"):
                 arcs.append(ArcInfo(a.start, a.end, t0, t1, phone or "!NULL",
-                                    [], log_like=0.0,
-                                    score=self.cfg.lm_scale * a.lm + a.prior))
+                                    [], log_like=0.0, score=float(base[i])))
                 continue
             if phone not in self.hmms:
                 raise KeyError(f"Phone '{phone}' not in HMM set")
@@ -312,20 +325,29 @@ class MpeComputer:
                 raise ValueError(f"Zero-length arc for phone {phone}")
             # MODELPENALTY enters each model's (= phone arc's) score once
             info = ArcInfo(a.start, a.end, t0, t1, phone, list(ids),
-                           score=(self.cfg.lm_scale * a.lm + a.prior
-                                  + self.cfg.model_penalty))
+                           score=float(base[i]) + self.cfg.model_penalty)
             buckets.setdefault((t1 - t0, len(ids)), []).append(len(arcs))
             arcs.append(info)
         return arcs, buckets
 
     def _bucket_inputs(self, arcs, idxs, L, S, log_post):
-        obs = np.empty((len(idxs), L, S))
-        lt = np.empty((len(idxs), S + 2, S + 2))
-        for j, i in enumerate(idxs):
-            a = arcs[i]
-            obs[j] = self.cfg.outprb_scale * log_post[a.t0:a.t1][:, a.senones]
-            lt[j] = self._log_tp[a.phone]
-        return obs, lt
+        # one fancy-index gather per bucket instead of a per-arc slice
+        # loop (measured hot spot at TIMIT lattice scale)
+        k = len(idxs)
+        t0s = np.fromiter((arcs[i].t0 for i in idxs), np.int64, k)
+        sen = np.asarray([arcs[i].senones for i in idxs], np.int64)
+        tix = t0s[:, None] + np.arange(L, dtype=np.int64)[None, :]
+        obs = self.cfg.outprb_scale * log_post[tix[:, :, None],
+                                               sen[:, None, :]]
+        stack, index = self._tp_stacks.get(S, (None, None))
+        if stack is None:
+            names = [nm for nm, tp in self._log_tp.items()
+                     if tp.shape[0] == S + 2]
+            index = {nm: j for j, nm in enumerate(names)}
+            stack = np.stack([self._log_tp[nm] for nm in names])
+            self._tp_stacks[S] = (stack, index)
+        rows = np.fromiter((index[arcs[i].phone] for i in idxs), np.int64, k)
+        return obs, stack[rows]
 
     def _obs_lt_lists(self, arcs, idxs, log_post):
         obs_list, lt_list = [], []
@@ -432,125 +454,230 @@ class MpeComputer:
         else:
             arcs, _ = self._score_arcs(lat, log_post)
         n = len(lat.nodes)
+        m_arcs = len(arcs)
 
-        in_arcs: List[List[int]] = [[] for _ in range(n)]
-        out_arcs: List[List[int]] = [[] for _ in range(n)]
-        for i, a in enumerate(arcs):
-            in_arcs[a.end].append(i)
-            out_arcs[a.start].append(i)
+        # ---- vectorized node recursions ------------------------------
+        # The round-3 scalar node loops cost ~0.45s per TIMIT-scale
+        # phone-loop lattice (8k nodes / 16k arcs); grouping nodes into
+        # topological LEVELS — (time, zero-duration-arc rank) — turns each
+        # of the four sweeps into ~T segment log-sum-exp reductions via
+        # np.ufunc.reduceat (50x at that scale, measured in
+        # BASELINE_MEASURED.md "MPE at TIMIT scale").
+        times_ns = np.asarray([nd.time for nd in lat.nodes], np.float64)
+        a_start = np.fromiter((a.start for a in arcs), np.int64, m_arcs)
+        a_end = np.fromiter((a.end for a in arcs), np.int64, m_arcs)
+        a_score = np.fromiter((a.score for a in arcs), np.float64, m_arcs)
 
-        order = sorted(range(n), key=lambda i: (lat.nodes[i].time, i))
-        start_nodes = [i for i in range(n) if not in_arcs[i]]
-        end_nodes = [i for i in range(n) if not out_arcs[i]]
+        has_in = np.zeros(n, bool)
+        has_out = np.zeros(n, bool)
+        if m_arcs:
+            has_in[a_end] = True
+            has_out[a_start] = True
+        start_nodes = np.nonzero(~has_in)[0]
+        end_nodes = np.nonzero(~has_out)[0]
 
-        # node recursions run in scalar Python float math: in-degrees are
-        # tiny (2-50), where numpy's per-call overhead dominates by 10x
-        from math import exp as _exp, log as _log
+        # zero-duration (!NULL) arcs connect same-time nodes; their chains
+        # get rank sub-levels so the sweeps stay topological
+        rank = np.zeros(n, np.int64)
+        if m_arcs:
+            intra = np.nonzero(times_ns[a_start] == times_ns[a_end])[0]
+            for it in range(n + 1):
+                if intra.size == 0:
+                    break
+                if it == n:
+                    raise ValueError("zero-duration arc cycle in lattice")
+                changed = False
+                for q in intra:
+                    s, e = a_start[q], a_end[q]
+                    if rank[e] < rank[s] + 1:
+                        rank[e] = rank[s] + 1
+                        changed = True
+                if not changed:
+                    break
 
-        def _lse_list(vals):
-            m = max(vals)
-            if m <= LOG_ZERO / 2:
-                return LOG_ZERO
-            return m + _log(sum(_exp(v - m) for v in vals))
+        node_order = np.lexsort((np.arange(n), rank, times_ns))
+        node_pos = np.empty(n, np.int64)
+        node_pos[node_order] = np.arange(n)
+        key_t = times_ns[node_order]
+        key_r = rank[node_order]
+        lev_break = np.r_[True, (key_t[1:] != key_t[:-1])
+                          | (key_r[1:] != key_r[:-1])] if n else \
+            np.zeros(0, bool)
+        level_of_pos = np.cumsum(lev_break) - 1
 
-        arc_start = [a.start for a in arcs]
-        arc_end = [a.end for a in arcs]
-        arc_score = [a.score for a in arcs]
+        def _csr(group_pos):
+            """Group arcs into contiguous per-node segments ordered by the
+            node's topological position, plus level-run bounds over the
+            segments. Within a segment arcs keep their original index
+            order (the in_arcs/out_arcs list order of the scalar code)."""
+            ordq = np.lexsort((np.arange(m_arcs), group_pos))
+            gpos = group_pos[ordq]
+            seg_first = np.empty(m_arcs, bool)
+            seg_first[0] = True
+            np.not_equal(gpos[1:], gpos[:-1], out=seg_first[1:])
+            seg_start = np.nonzero(seg_first)[0]
+            seg_sizes = np.diff(np.append(seg_start, m_arcs))
+            seg_pos = gpos[seg_start]
+            seg_level = level_of_pos[seg_pos]
+            run_first = np.empty(seg_level.shape[0], bool)
+            run_first[0] = True
+            np.not_equal(seg_level[1:], seg_level[:-1], out=run_first[1:])
+            run_start = np.nonzero(run_first)[0]
+            run_end = np.append(run_start[1:], seg_start.shape[0])
+            return ordq, seg_start, seg_sizes, seg_pos, run_start, run_end
 
-        # ---- alpha/beta over nodes -----------------------------------
-        # With a beam, nodes are processed in time groups and any node
-        # whose alpha falls more than ``beam`` below the group's best is
-        # deactivated (alpha := LOG_ZERO) — the lattice analog of STK's
-        # per-frame token beam (Decoder mPruningThresh). Overpruning can
-        # kill every path; compute() then underflows and the caller widens
-        # the beam (TMpeCu.cc:587-609).
-        alpha = [LOG_ZERO] * n
-        for i in start_nodes:
-            alpha[i] = 0.0
-        group: List[int] = []
-        group_time = None
-        pruned: set = set()
+        def _run_bounds(seg_start, s0, s1):
+            lo = seg_start[s0]
+            hi = seg_start[s1] if s1 < seg_start.shape[0] else m_arcs
+            return lo, hi
 
-        def _apply_beam():
-            if beam is None or not group:
-                return
-            best = max(alpha[j] for j in group)
-            if best <= LOG_ZERO / 2:
-                return
-            for j in group:
-                if alpha[j] < best - beam:
-                    alpha[j] = LOG_ZERO
-                    pruned.add(j)
-            group.clear()
+        def _seg_lse(contrib, rel_starts, sizes):
+            """Per-segment log-sum-exp with the scalar _lse_list guard.
+            Returns (lse, max, expsum)."""
+            mx = np.maximum.reduceat(contrib, rel_starts)
+            es = np.add.reduceat(np.exp(contrib - np.repeat(mx, sizes)),
+                                 rel_starts)
+            out = np.where(mx <= LOG_ZERO / 2, LOG_ZERO, mx + np.log(es))
+            return out, mx, es
 
-        for i in order:
-            if beam is not None and lat.nodes[i].time != group_time:
-                _apply_beam()
-                group_time = lat.nodes[i].time
-                group = []
-            if in_arcs[i]:
-                alpha[i] = _lse_list(
-                    [alpha[arc_start[q]] + arc_score[q] for q in in_arcs[i]])
-            if beam is not None:
-                group.append(i)
-        _apply_beam()
-        beta = [LOG_ZERO] * n
-        for i in end_nodes:
-            if i not in pruned:
-                beta[i] = 0.0
-        for i in reversed(order):
-            if i in pruned:
-                continue            # dead node: paths through it stay dead
-            if out_arcs[i]:
-                beta[i] = _lse_list(
-                    [arc_score[q] + beta[arc_end[q]] for q in out_arcs[i]])
-        logZ = _lse_list([alpha[i] for i in end_nodes])
+        # ---- alpha with the per-time-group beam ----------------------
+        # Any node whose alpha falls more than ``beam`` below the best
+        # alpha at the same node TIME is deactivated (alpha := LOG_ZERO)
+        # — the lattice analog of STK's per-frame token beam (Decoder
+        # mPruningThresh). Overpruning can kill every path; compute()
+        # then underflows and the caller widens the beam
+        # (TMpeCu.cc:587-609).
+        alpha = np.full(n, LOG_ZERO)
+        alpha[start_nodes] = 0.0
+        pruned = np.zeros(n, bool)
+        fw_csr = _csr(node_pos[a_end]) if m_arcs else None
+        if fw_csr is not None:
+            ordq, seg_start, seg_sizes, seg_pos, run_start, run_end = fw_csr
+            fw_src = a_start[ordq]
+            fw_score = a_score[ordq]
+            tg_break = np.r_[True, key_t[1:] != key_t[:-1]]
+            tg_start_pos = np.nonzero(tg_break)[0]
+            tg_end_pos = np.r_[tg_start_pos[1:], n]
+            run_tg = np.searchsorted(tg_start_pos, seg_pos[run_start],
+                                     side="right") - 1
+            n_runs = run_start.shape[0]
+            # without a beam the final alphas equal the sweep alphas, so
+            # the acc sweep below can reuse each run's (contrib, mx, es)
+            fw_cache = [None] * n_runs if beam is None else None
+            ri = 0
+            for g in range(tg_start_pos.shape[0]):
+                while ri < n_runs and run_tg[ri] == g:
+                    s0, s1 = run_start[ri], run_end[ri]
+                    lo, hi = _run_bounds(seg_start, s0, s1)
+                    contrib = alpha[fw_src[lo:hi]] + fw_score[lo:hi]
+                    vals, mx, es = _seg_lse(contrib, seg_start[s0:s1] - lo,
+                                            seg_sizes[s0:s1])
+                    alpha[node_order[seg_pos[s0:s1]]] = vals
+                    if fw_cache is not None:
+                        fw_cache[ri] = (contrib, mx, es)
+                    ri += 1
+                if beam is not None:
+                    gp = node_order[tg_start_pos[g]:tg_end_pos[g]]
+                    best = alpha[gp].max()
+                    if best > LOG_ZERO / 2:
+                        kill = gp[alpha[gp] < best - beam]
+                        alpha[kill] = LOG_ZERO
+                        pruned[kill] = True
+
+        # ---- beta (pruned nodes stay dead) ---------------------------
+        beta = np.full(n, LOG_ZERO)
+        live_ends = end_nodes[~pruned[end_nodes]]
+        beta[live_ends] = 0.0
+        bw_csr = _csr(node_pos[a_start]) if m_arcs else None
+        if bw_csr is not None:
+            (ordq_b, seg_start_b, seg_sizes_b, seg_pos_b, run_start_b,
+             run_end_b) = bw_csr
+            bw_src = a_end[ordq_b]
+            bw_score = a_score[ordq_b]
+            # sources sit at later levels, already final when a run is
+            # processed, so the acc sweep can always reuse these
+            bw_cache = [None] * run_start_b.shape[0]
+            for ri in range(run_start_b.shape[0] - 1, -1, -1):
+                s0, s1 = run_start_b[ri], run_end_b[ri]
+                lo, hi = _run_bounds(seg_start_b, s0, s1)
+                contrib = bw_score[lo:hi] + beta[bw_src[lo:hi]]
+                vals, mx, es = _seg_lse(contrib, seg_start_b[s0:s1] - lo,
+                                        seg_sizes_b[s0:s1])
+                bw_cache[ri] = (contrib, mx, es)
+                nodes_r = node_order[seg_pos_b[s0:s1]]
+                live = ~pruned[nodes_r]
+                beta[nodes_r[live]] = vals[live]
+
+        logZ = _logsumexp(alpha[end_nodes]) if end_nodes.size else LOG_ZERO
         if logZ <= LOG_ZERO / 2:
             raise FloatingPointError("lattice forward-backward underflow "
                                      "(overpruning?)")
 
         gamma_q = np.exp(np.clip(
-            np.asarray(alpha)[arc_start] + np.asarray(arc_score)
-            + np.asarray(beta)[arc_end] - logZ, -700, 0))
+            alpha[a_start] + a_score + beta[a_end] - logZ, -700, 0))
 
         # ---- MPE accuracy (vectorized over arcs x ref segments) ------
         seg_t0 = np.asarray([s[0] for s in ref_segments], dtype=np.float64)
         seg_t1 = np.asarray([s[1] for s in ref_segments], dtype=np.float64)
         seg_ph = [s[2] for s in ref_segments]
-        a_t0 = np.asarray([a.t0 for a in arcs], dtype=np.float64)
-        a_t1 = np.asarray([a.t1 for a in arcs], dtype=np.float64)
+        a_t0 = np.fromiter((a.t0 for a in arcs), np.float64, m_arcs)
+        a_t1 = np.fromiter((a.t1 for a in arcs), np.float64, m_arcs)
         overlap = (np.minimum(a_t1[:, None], seg_t1[None, :])
                    - np.maximum(a_t0[:, None], seg_t0[None, :]))
         e = np.clip(overlap, 0, None) / np.maximum(seg_t1 - seg_t0, 1)[None, :]
-        same = np.asarray([[a.phone == p for p in seg_ph] for a in arcs])
+        # phone identity via integer codes (string == across the full
+        # arcs x segments grid was a measured hot spot)
+        codes: Dict[str, int] = {}
+        arc_code = np.fromiter(
+            (codes.setdefault(a.phone, len(codes)) for a in arcs),
+            np.int64, m_arcs)
+        seg_code = np.fromiter(
+            (codes.setdefault(p, len(codes)) for p in seg_ph),
+            np.int64, len(seg_ph))
+        same = arc_code[:, None] == seg_code[None, :]
         acc_mat = np.where(same, -1.0 + 2.0 * e, -1.0 + e)
         acc_mat = np.where(e > 0, acc_mat, -1.0)
-        arc_acc = np.max(acc_mat, axis=1, initial=-1.0)
-        for i, a in enumerate(arcs):
-            a.accuracy = float(arc_acc[i]) if a.senones else 0.0
+        has_sen = np.fromiter((bool(a.senones) for a in arcs), bool, m_arcs)
+        arc_acc = np.where(has_sen, np.max(acc_mat, axis=1, initial=-1.0), 0.0)
 
-        alpha_acc = [0.0] * n
-        for i in order:
-            if in_arcs[i]:
-                ws = [alpha[arc_start[q]] + arc_score[q] for q in in_arcs[i]]
-                z = _lse_list(ws)
-                if z <= LOG_ZERO / 2:
-                    continue        # all predecessors pruned/unreachable
-                alpha_acc[i] = sum(
-                    _exp(w - z) * (alpha_acc[arc_start[q]] + arcs[q].accuracy)
-                    for w, q in zip(ws, in_arcs[i]))
-        beta_acc = [0.0] * n
-        for i in reversed(order):
-            if out_arcs[i]:
-                ws = [arc_score[q] + beta[arc_end[q]] for q in out_arcs[i]]
-                z = _lse_list(ws)
-                if z <= LOG_ZERO / 2:
-                    continue
-                beta_acc[i] = sum(
-                    _exp(w - z) * (arcs[q].accuracy + beta_acc[arc_end[q]])
-                    for w, q in zip(ws, out_arcs[i]))
+        # ---- accuracy-weighted means over the same level structure ---
+        alpha_acc = np.zeros(n)
+        if fw_csr is not None:
+            fw_acc = arc_acc[ordq]
+            for ri in range(run_start.shape[0]):
+                s0, s1 = run_start[ri], run_end[ri]
+                lo, hi = _run_bounds(seg_start, s0, s1)
+                rel = seg_start[s0:s1] - lo
+                sz = seg_sizes[s0:s1]
+                if fw_cache is not None:
+                    contrib, mx, denom = fw_cache[ri]
+                else:
+                    contrib = alpha[fw_src[lo:hi]] + fw_score[lo:hi]
+                    _, mx, denom = _seg_lse(contrib, rel, sz)
+                vals = alpha_acc[fw_src[lo:hi]] + fw_acc[lo:hi]
+                numer = np.add.reduceat(
+                    np.exp(contrib - np.repeat(mx, sz)) * vals, rel)
+                ok = mx > LOG_ZERO / 2
+                nodes_r = node_order[seg_pos[s0:s1]]
+                alpha_acc[nodes_r[ok]] = (numer[ok] / denom[ok])
+        beta_acc = np.zeros(n)
+        if bw_csr is not None:
+            bw_acc = arc_acc[ordq_b]
+            for ri in range(run_start_b.shape[0] - 1, -1, -1):
+                s0, s1 = run_start_b[ri], run_end_b[ri]
+                lo, hi = _run_bounds(seg_start_b, s0, s1)
+                rel = seg_start_b[s0:s1] - lo
+                sz = seg_sizes_b[s0:s1]
+                contrib, mx, denom = bw_cache[ri]
+                vals = bw_acc[lo:hi] + beta_acc[bw_src[lo:hi]]
+                numer = np.add.reduceat(
+                    np.exp(contrib - np.repeat(mx, sz)) * vals, rel)
+                ok = mx > LOG_ZERO / 2
+                nodes_r = node_order[seg_pos_b[s0:s1]]
+                beta_acc[nodes_r[ok]] = (numer[ok] / denom[ok])
 
-        c_avg = sum(_exp(alpha[i] - logZ) * alpha_acc[i] for i in end_nodes)
+        c_avg = float(np.sum(np.exp(alpha[end_nodes] - logZ)
+                             * alpha_acc[end_nodes]))
 
         # ---- scatter into (frame, senone) ----------------------------
         # OCCUPPSCALE: exponent on the occupancy part of each gamma
@@ -559,33 +686,44 @@ class MpeComputer:
         # while the MPE accuracy coefficient stays linear. Factorized:
         # (γ_q·occ)^s = γ_q^s · occ^s.
         ocp = self.cfg.occup_scale
-
-        def _coef(gq, a):
-            gq_s = gq if ocp == 1.0 else gq ** ocp
-            if self.cfg.ml_gamma:
-                return gq_s
-            return gq_s * (alpha_acc[a.start] + a.accuracy
-                           + beta_acc[a.end] - c_avg)
+        gq_s = gamma_q if ocp == 1.0 else gamma_q ** ocp
+        if self.cfg.ml_gamma:
+            coef_all = gq_s
+        else:
+            coef_all = gq_s * (alpha_acc[a_start] + arc_acc
+                               + beta_acc[a_end] - c_avg)
 
         if beam is not None:
             # occupancies were deferred; compute them only for arcs that
             # survived the beam and actually contribute
             needed = [i for i, a in enumerate(arcs)
                       if a.senones and a.occupancy is None
-                      and _coef(gamma_q[i], a) != 0.0]
+                      and coef_all[i] != 0.0]
             self._fill_occupancies(arcs, needed, log_post)
 
-        gammas = np.zeros((T, C), dtype=np.float64)
-        fw = frame_weights if frame_weights is not None else np.ones(T)
-        for gq, a in zip(gamma_q, arcs):
-            if not a.senones or a.occupancy is None:
+        # bucket the contributing arcs by (length, n_states) and scatter
+        # each bucket with one flat bincount (the per-arc slice loop was
+        # the other measured hot spot)
+        gammas_flat = np.zeros(T * C, dtype=np.float64)
+        fw_w = frame_weights if frame_weights is not None else np.ones(T)
+        sc_buckets: Dict[Tuple[int, int], List[int]] = {}
+        for i, a in enumerate(arcs):
+            if not a.senones or a.occupancy is None or coef_all[i] == 0.0:
                 continue
-            coef = _coef(gq, a)
-            if coef == 0.0:
-                continue
-            occ = a.occupancy if ocp == 1.0 else a.occupancy ** ocp
-            seg = (coef * utt_weight) * occ \
-                * fw[a.t0:a.t1][:, None]
-            for j, sid in enumerate(a.senones):
-                gammas[a.t0:a.t1, sid] += seg[:, j]
+            sc_buckets.setdefault((a.t1 - a.t0, len(a.senones)),
+                                  []).append(i)
+        for (L, S), idxs in sc_buckets.items():
+            t0s = np.fromiter((arcs[i].t0 for i in idxs), np.int64,
+                              len(idxs))
+            sen = np.asarray([arcs[i].senones for i in idxs], np.int64)
+            occ = np.stack([arcs[i].occupancy for i in idxs])
+            if ocp != 1.0:
+                occ = occ ** ocp
+            tix = t0s[:, None] + np.arange(L, dtype=np.int64)[None, :]
+            seg = ((coef_all[idxs] * utt_weight)[:, None, None] * occ
+                   * fw_w[tix][:, :, None])
+            flat = (tix[:, :, None] * C + sen[:, None, :]).ravel()
+            gammas_flat += np.bincount(flat, weights=seg.ravel(),
+                                       minlength=T * C)
+        gammas = gammas_flat.reshape(T, C)
         return gammas.astype(np.float32), c_avg, logZ

@@ -42,30 +42,41 @@ def init_rbm_state(spec: Rbm, params: dict, cfg: RbmTrainConfig) -> dict:
     return st
 
 
-def apply_rbm_update(spec: Rbm, cfg: RbmTrainConfig, params, state,
-                     pos_vis, pos_hid, neg_vis, neg_hid):
-    """Pure Hinton-recipe CD-1 update (cuRbm.cc:131-174,
-    cuRbmSparse.cc:131-195). Returns (new_params, new_state)."""
+def cd1_stats(pos_vis, pos_hid, neg_vis, neg_hid):
+    """CD-1 sufficient statistics: everything the Hinton update needs that
+    sums over the bunch. Factored out so the data-parallel step can psum
+    the per-shard sums before applying the identical update
+    (parallel/sharded_aux.py)."""
+    return {
+        "vh": pos_vis.T @ pos_hid - neg_vis.T @ neg_hid,
+        "vb": jnp.sum(pos_vis, 0) - jnp.sum(neg_vis, 0),
+        "hb": jnp.sum(pos_hid, 0) - jnp.sum(neg_hid, 0),
+        "q_sum": jnp.sum(pos_hid, 0),
+        "vis_sum": jnp.sum(pos_vis, 0),
+    }
+
+
+def apply_rbm_update_from_stats(spec: Rbm, cfg: RbmTrainConfig, params,
+                                state, stats, n_frames):
+    """Pure Hinton-recipe CD-1 update from summed statistics
+    (cuRbm.cc:131-174, cuRbmSparse.cc:131-195). Returns
+    (new_params, new_state)."""
     sparse = isinstance(spec, RbmSparse)
     w, vb, hb = params["weight"], params["vis_bias"], params["hid_bias"]
-    N = jnp.asarray(pos_vis.shape[0], jnp.float32)
+    N = jnp.asarray(n_frames, jnp.float32)
     lr, mmt, wc = cfg.learning_rate, cfg.momentum, cfg.weightcost
 
-    vh_corr = (mmt * state["vh_corr"]
-               + (lr / N) * (pos_vis.T @ pos_hid - neg_vis.T @ neg_hid)
-               - lr * wc * w)
-    vb_corr = (mmt * state["vb_corr"]
-               + (lr / N) * (jnp.sum(pos_vis, 0) - jnp.sum(neg_vis, 0)))
-    hb_corr = (mmt * state["hb_corr"]
-               + (lr / N) * (jnp.sum(pos_hid, 0) - jnp.sum(neg_hid, 0)))
+    vh_corr = mmt * state["vh_corr"] + (lr / N) * stats["vh"] - lr * wc * w
+    vb_corr = mmt * state["vb_corr"] + (lr / N) * stats["vb"]
+    hb_corr = mmt * state["hb_corr"] + (lr / N) * stats["hb"]
 
     new_state = dict(state)
     if sparse and spec.hid_type == BERNOULLI:
-        q_cur = jnp.sum(pos_hid, 0) / N
+        q_cur = stats["q_sum"] / N
         q = cfg.sparsity_lambda * state["sparsity_q"] \
             + (1.0 - cfg.sparsity_lambda) * q_cur
         q_diff = q - cfg.sparsity_prior
-        vis_mean = jnp.sum(pos_vis, 0) / N
+        vis_mean = stats["vis_sum"] / N
         vh_corr = vh_corr - cfg.sparsity_cost * jnp.outer(vis_mean, q_diff)
         hb_corr = hb_corr - cfg.sparsity_cost * q_diff
         new_state["sparsity_q"] = q
@@ -78,12 +89,33 @@ def apply_rbm_update(spec: Rbm, cfg: RbmTrainConfig, params, state,
     return new_params, new_state
 
 
-def sample_hidden(spec: Rbm, key, pos_hid):
-    """Hidden sampling for the negative phase (TRbmCu.cc:332-339)."""
+def apply_rbm_update(spec: Rbm, cfg: RbmTrainConfig, params, state,
+                     pos_vis, pos_hid, neg_vis, neg_hid):
+    """Pure Hinton-recipe CD-1 update (cuRbm.cc:131-174,
+    cuRbmSparse.cc:131-195). Returns (new_params, new_state)."""
+    return apply_rbm_update_from_stats(
+        spec, cfg, params, state,
+        cd1_stats(pos_vis, pos_hid, neg_vis, neg_hid), pos_vis.shape[0])
+
+
+def hidden_noise(spec: Rbm, key, shape, dtype=jnp.float32):
+    """The stochastic ingredient of the negative phase: uniform thresholds
+    (Bernoulli) or Gaussian noise. Separated from the thresholding so the
+    data-parallel step can draw the noise at GLOBAL bunch shape (counter
+    PRNG: same key + shape = same values) and shard it — bit-identical
+    sampling to the single-chip step."""
     if spec.hid_type == BERNOULLI:
-        u = jax.random.uniform(key, pos_hid.shape, dtype=pos_hid.dtype)
-        return (pos_hid > u).astype(pos_hid.dtype)
-    return pos_hid + jax.random.normal(key, pos_hid.shape, dtype=pos_hid.dtype)
+        return jax.random.uniform(key, shape, dtype=dtype)
+    return jax.random.normal(key, shape, dtype=dtype)
+
+
+def sample_hidden(spec: Rbm, key, pos_hid, noise=None):
+    """Hidden sampling for the negative phase (TRbmCu.cc:332-339)."""
+    if noise is None:
+        noise = hidden_noise(spec, key, pos_hid.shape, pos_hid.dtype)
+    if spec.hid_type == BERNOULLI:
+        return (pos_hid > noise).astype(pos_hid.dtype)
+    return pos_hid + noise
 
 
 def make_cd1_step(spec: Rbm, cfg: RbmTrainConfig):

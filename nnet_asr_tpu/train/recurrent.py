@@ -42,8 +42,18 @@ class RecurrentTrainerConfig:
 
 
 class RecurrentTrainer:
-    def __init__(self, net: Network, cfg: RecurrentTrainerConfig):
+    def __init__(self, net: Network, cfg: RecurrentTrainerConfig, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — utterances shard over the
+        ``data`` axis (batched truncated BPTT with the segment gradient
+        psum'd over ICI; the reference trains single-device,
+        TRecurrentCu.cc:290-371, so this is the beyond-parity scaling
+        axis). Semantics match the single-device batch step: the update
+        consumes the batch-summed gradient either way."""
         net.check_dims()
+        if mesh is not None and cfg.frame_serial:
+            raise ValueError("frame_serial parity mode is single-device "
+                             "(one frame at a time has no data axis)")
+        self.mesh = mesh
         self.net = net
         self.cfg = cfg
         self.params = [dict(p) for p in net.params]
@@ -127,9 +137,14 @@ class RecurrentTrainer:
             }
             return loss, (stats, h_new)
 
+        mesh = self.mesh
+
         def utt_step(params, velocity, acc, feats, labels, mask):
             """feats (n_seg, B, K, D); scan segments, truncating grads at
-            boundaries via stop_gradient on the carried state."""
+            boundaries via stop_gradient on the carried state. Under a
+            mesh this body runs per data shard (B = local utterances) and
+            the segment gradient/stats psum over the axis before the
+            replicated update."""
             B = feats.shape[1]
             h_init = [jnp.zeros((B, net.specs[i].n_outputs), jnp.float32)
                       for i in self.rec_idx]
@@ -141,10 +156,18 @@ class RecurrentTrainer:
                 if cfg.crossvalidate:
                     _, (stats, h_new) = seg_loss(params, x_seg, l_seg,
                                                  m_seg, h_list)
+                    if mesh is not None:
+                        stats = {k: jax.lax.psum(v, "data")
+                                 for k, v in stats.items()}
                 else:
                     (_, (stats, h_new)), grads = jax.value_and_grad(
                         seg_loss, has_aux=True)(params, x_seg, l_seg,
                                                 m_seg, h_list)
+                    if mesh is not None:
+                        grads = [{k: jax.lax.psum(v, "data")
+                                  for k, v in g.items()} for g in grads]
+                        stats = {k: jax.lax.psum(v, "data")
+                                 for k, v in stats.items()}
                     # all-masked padding segments (bucketed n_seg) must be
                     # exact no-ops: momentum/L2 would otherwise coast on
                     # zero grads and drift the params
@@ -163,7 +186,22 @@ class RecurrentTrainer:
                 body, (params, velocity, acc, h_init), (feats, labels, mask))
             return params, velocity, acc
 
-        self._utt_step = jax.jit(utt_step, donate_argnums=(0, 1, 2))
+        if mesh is None:
+            self._utt_step = jax.jit(utt_step, donate_argnums=(0, 1, 2))
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            param_specs = [{k: P() for k in p} for p in self.params]
+            vel_specs = [{k: P() for k in v} for v in self.velocity]
+            acc_spec = {k: P() for k in self._zero_acc()}
+            self._utt_step = jax.jit(shard_map(
+                utt_step, mesh=mesh,
+                in_specs=(param_specs, vel_specs, acc_spec,
+                          P(None, "data", None, None),
+                          P(None, "data", None), P(None, "data", None)),
+                out_specs=(param_specs, vel_specs, acc_spec),
+                check_vma=False), donate_argnums=(0, 1, 2))
         if cfg.frame_serial:
             self._build_serial()
 
@@ -332,8 +370,17 @@ class RecurrentTrainer:
         this reduces to the utterance-serial behavior.
         """
         K = self.cfg.bptt_order
-        B = len(feats_list)
         D = feats_list[0].shape[1]
+        if self.mesh is not None:
+            # pad the utterance batch to a multiple of the data axis with
+            # empty (all-masked) utterances — exact no-ops in the step
+            d = self.mesh.shape["data"]
+            feats_list = list(feats_list)
+            labels_list = list(labels_list)
+            while len(feats_list) % d:
+                feats_list.append(np.zeros((0, D), np.float32))
+                labels_list.append(np.zeros((0,), np.int32))
+        B = len(feats_list)
         T_max = max(f.shape[0] for f in feats_list)
         # n_seg bucketed to multiples of 16: every distinct scan length is
         # a distinct XLA program (expensive on remote-compile backends);

@@ -121,6 +121,46 @@ def test_tmpe_end_to_end(mpe_setup):
     assert acc1 >= 0.6, (acc0, acc1)
 
 
+def test_tmpe_crossvalidate(mpe_setup, tmp_path, capsys):
+    """-c: evaluates the MPE criterion with pipelined forwards and NO
+    update — params must not change, no model written, and the reported
+    avg accuracy must match the first training iteration's (both measure
+    the same starting model)."""
+    tmp, utts = mpe_setup
+    from nnet_asr_tpu.tools import tmpe
+
+    common = [
+        "-I", str(tmp / "labels.mlf"), "-L", "*/", "-X", "lab",
+        "-m", str(tmp / "phones.map"), "-S", str(tmp / "train.scp"),
+        "--HMM=" + str(tmp / "hmms.mmf"),
+        "--LATTICEDIR=" + str(tmp / "lats"), "--OUTPSCALE=1.0",
+    ]
+    out = tmp_path / "should_not_exist.mmf"
+    rc = tmpe.main(["tmpe", "-c", "-H", str(tmp / "init.mmf"),
+                    "--TARGETMMF=" + str(out)] + common)
+    assert rc == 0
+    assert not out.exists()
+    cv_line = [l for l in capsys.readouterr().out.splitlines()
+               if l.startswith("Avg MPE accuracy")][0]
+    cv_acc = float(cv_line.split()[3])
+
+    # small lookahead exercises the drain loop boundary conditions
+    tmpe.main(["tmpe", "-c", "-H", str(tmp / "init.mmf"),
+               "--LOOKAHEAD=2"] + common)
+    line2 = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("Avg MPE accuracy")][0]
+    assert float(line2.split()[3]) == cv_acc
+
+    # training on the same model reports the same criterion (the FB sees
+    # identical posteriors; updates happen after each utterance's stats)
+    tmpe.main(["tmpe", "-H", str(tmp / "init.mmf"),
+               "--LEARNINGRATE=0.0",
+               "--TARGETMMF=" + str(tmp_path / "lr0.mmf")] + common)
+    line3 = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("Avg MPE accuracy")][0]
+    assert abs(float(line3.split()[3]) - cv_acc) < 1e-4
+
+
 def test_tmpe_pruning_and_retry_loop(mpe_setup, monkeypatch, capsys):
     """-t beam inc max: the widen-and-retry loop of TMpeCu.cc:587-609.
     Force the first two compute() calls to underflow and check the tool
