@@ -1,6 +1,6 @@
 """Benchmark: frame-CE training throughput of the flagship MLP3 on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Workload = example-01's training configuration (598->1024->135 MLP, bunch
 960, fused fwd+bwd+SGD step), measured as trained frames/second on the
@@ -8,6 +8,15 @@ available accelerator. vs_baseline compares against the reference CPU
 binary's throughput on the same workload (TNet multithreaded, GotoBLAS) —
 measured at ~106k frames/s on this container's CPU via the reference's own
 FPS report format when buildable, else the recorded estimate below.
+
+The line additionally carries ``production_tflops`` /
+``production_pct_bf16_peak``: the slope-timed full train step (fwd+bwd+SGD,
+donated state) at the production MFU shapes 1024->4096^4->8192, bunch 1024
+— the docs/KERNELS.md headline — so a production-shape regression shows in
+BENCH_r*.json, not only in scripts/mfu_* runs (VERDICT r3 #5). Slope
+timing: two runtime window sizes of ONE compiled fori_loop program; the
+~28ms axon-tunnel RTT and dispatch cost cancel in the difference
+(CLAUDE.md timing rules).
 """
 
 import json
@@ -19,7 +28,7 @@ import time
 import numpy as np
 
 
-def _watchdog(seconds: int = 480):
+def _watchdog(seconds: int = 720):
     """Emit a failure JSON line instead of hanging forever if the TPU
     tunnel is unresponsive (device init blocks in PJRT)."""
     def fire():
@@ -35,6 +44,90 @@ def _watchdog(seconds: int = 480):
 
 REFERENCE_BASELINE_FPS = 1754.0  # measured: reference TNet CPU binary (system BLAS,
 # 2-core container, THREADS=4, example-01 workload) — see BASELINE_MEASURED.md
+
+PEAK_BF16 = 197e12               # v5e MXU bf16 peak (docs/KERNELS.md)
+
+
+def _production_metric():
+    """Slope-timed production-shape train step -> (tflops, pct_peak).
+
+    One jitted fori_loop with a RUNTIME trip count (single compile; two
+    static window sizes would each recompile the whole drain, 6-20min
+    cold through the remote-compile tunnel — ROUND_NOTES.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nnet_asr_tpu.models import (BiasedLinearity, Network, Sigmoid,
+                                     Softmax)
+    from nnet_asr_tpu.ops.objectives import xent_loss_and_stats
+    from nnet_asr_tpu.train.sgd import SgdConfig, apply_updates
+    from nnet_asr_tpu.train.trainer import Trainer, TrainerConfig
+
+    dims = [1024, 4096, 4096, 4096, 4096, 8192]
+    bunch = 1024
+    rng = np.random.default_rng(7)
+    specs, params = [], []
+    for i in range(len(dims) - 1):
+        specs.append(BiasedLinearity(dims[i], dims[i + 1]))
+        params.append({
+            "weight": (0.05 * rng.standard_normal(
+                (dims[i], dims[i + 1]))).astype(np.float32),
+            "bias": np.zeros(dims[i + 1], np.float32)})
+        if i < len(dims) - 2:
+            specs.append(Sigmoid(dims[i + 1], dims[i + 1]))
+            params.append({})
+    specs.append(Softmax(dims[-1], dims[-1]))
+    params.append({})
+    net = Network(tuple(specs), params)
+    cfg = TrainerConfig(bunchsize=bunch, cachesize=bunch, seed=1,
+                        randomize=False,
+                        sgd=SgdConfig(learning_rate=0.01))
+    tr = Trainer(net, cfg)
+
+    x = jnp.asarray((0.1 * rng.standard_normal(
+        (bunch, dims[0]))).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, dims[-1], bunch).astype(np.int32))
+    body_specs = net.specs[:-1]
+
+    def loss_fn(params, xx, lab):
+        for spec, p in zip(body_specs, params[:-1]):
+            xx = spec.apply(p, xx)
+        return xent_loss_and_stats(xx, lab)
+
+    def mega(params, velocity, acc, m):
+        def body(_, c):
+            p, v, a = c
+            (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, x, labels)
+            p, v = apply_updates(net, p, v, grads, cfg.sgd, bunch,
+                                 tr.factors)
+            return p, v, {k: a[k] + stats[k] for k in a}
+        return jax.lax.fori_loop(0, m, body, (params, velocity, acc))
+
+    jf = jax.jit(mega, donate_argnums=(0, 1, 2))
+    state = (jax.device_put(tr.params), jax.device_put(tr.velocity),
+             tr._zero_acc())
+    # compile + warm (runtime m: same program for every window size)
+    state = jf(*state, jnp.int32(2))
+    float(state[0][0]["weight"][0, 0])
+
+    def timed(m, reps=4):
+        nonlocal state
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            state = jf(*state, jnp.int32(m))
+            float(state[0][0]["weight"][0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    M1, M2 = 32, 128
+    t1 = timed(M1)
+    t2 = timed(M2)
+    per_step = (t2 - t1) / (M2 - M1)
+    n_params = sum(dims[i] * dims[i + 1] for i in range(len(dims) - 1))
+    tflops = 3 * 2 * n_params * bunch / per_step / 1e12
+    return round(tflops, 1), round(tflops * 1e12 / PEAK_BF16 * 100, 1)
 
 
 def main():
@@ -119,13 +212,48 @@ def main():
             break
 
     fps = M * nb * bunch / best
+
+    # phase 2: the toy FPS is banked — if the production-shape phase hangs
+    # (cold remote compile can take many minutes), emit the toy metric
+    # with an error field instead of a zero line
     watchdog.cancel()
-    print(json.dumps({
+
+    def fallback(seconds=420):
+        def fire():
+            print(json.dumps({
+                "metric": "mlp3_train_frames_per_sec",
+                "value": round(fps, 1), "unit": "frames/s",
+                "vs_baseline": round(fps / REFERENCE_BASELINE_FPS, 3),
+                "production_tflops": None,
+                "production_pct_bf16_peak": None,
+                "production_error": f"timed out after {seconds}s"}),
+                flush=True)
+            os._exit(0)
+        t = threading.Timer(seconds, fire)
+        t.daemon = True
+        t.start()
+        return t
+
+    watchdog = fallback()
+    prod_tflops = prod_pct = None
+    prod_err = None
+    if jax.default_backend() != "cpu":
+        try:
+            prod_tflops, prod_pct = _production_metric()
+        except Exception as e:        # keep the headline metric alive
+            prod_err = f"{type(e).__name__}: {e}"[:200]
+    watchdog.cancel()
+    out = {
         "metric": "mlp3_train_frames_per_sec",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_BASELINE_FPS, 3),
-    }))
+        "production_tflops": prod_tflops,
+        "production_pct_bf16_peak": prod_pct,
+    }
+    if prod_err:
+        out["production_error"] = prod_err
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -194,22 +194,35 @@ def read_htk_file(path: str, big_endian: bool = True):
     compression already undone and the header reflects the decompressed view
     (C bit cleared, n_samples corrected for the A/B rows).
     """
+    def _read_exact(f, nbytes):
+        # fail fast on truncation, like the reference's fread checks
+        # (Features.cc:700 "Cannot read feature file")
+        buf = f.read(nbytes)
+        if len(buf) != nbytes:
+            raise ValueError(f"Cannot read feature file: '{path}' "
+                             f"(truncated: wanted {nbytes} data bytes, "
+                             f"got {len(buf)})")
+        return buf
+
     with stk_open(path, "rb") as f:
         hdr = _read_header(f, big_endian)
         bo = ">" if big_endian else "<"
         if hdr.sample_kind & PARMKIND_C:
             coefs = hdr.sample_size // 2
-            A = np.frombuffer(f.read(4 * coefs), dtype=bo + "f4").astype(np.float32)
-            B = np.frombuffer(f.read(4 * coefs), dtype=bo + "f4").astype(np.float32)
+            A = np.frombuffer(_read_exact(f, 4 * coefs),
+                              dtype=bo + "f4").astype(np.float32)
+            B = np.frombuffer(_read_exact(f, 4 * coefs),
+                              dtype=bo + "f4").astype(np.float32)
             n = hdr.n_samples - 4  # 2 * sizeof(float32)/sizeof(int16)
-            raw = np.frombuffer(f.read(2 * coefs * n), dtype=bo + "i2")
+            raw = np.frombuffer(_read_exact(f, 2 * coefs * n), dtype=bo + "i2")
             raw = raw.reshape(n, coefs).astype(np.float32)
             data = (raw + B[None, :]) / A[None, :]
             hdr = HtkHeader(n, hdr.sample_period, hdr.sample_size,
                             hdr.sample_kind & ~PARMKIND_C)
         else:
             dim = hdr.sample_size // 4
-            raw = np.frombuffer(f.read(4 * dim * hdr.n_samples), dtype=bo + "f4")
+            raw = np.frombuffer(_read_exact(f, 4 * dim * hdr.n_samples),
+                                dtype=bo + "f4")
             data = raw.reshape(hdr.n_samples, dim).astype(np.float32)
     return data, hdr
 

@@ -125,6 +125,11 @@ def read_slf(source) -> Lattice:
         raise ValueError(f"SLF declares N={n_nodes} nodes, found {len(lat.nodes)}")
     if n_arcs is not None and len(lat.arcs) != n_arcs:
         raise ValueError(f"SLF declares L={n_arcs} arcs, found {len(lat.arcs)}")
+    for a in lat.arcs:
+        if not (0 <= a.start < len(lat.nodes) and 0 <= a.end < len(lat.nodes)):
+            raise ValueError(
+                f"SLF arc references node {max(a.start, a.end)} "
+                f"but only {len(lat.nodes)} nodes are defined")
     lat.topo_check()
     return lat
 

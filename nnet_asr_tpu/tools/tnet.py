@@ -112,8 +112,9 @@ def main(argv=None) -> int:
     # matmul compute dtype: f32 (parity default), bf16 (explicit bf16
     # master-cast mode), int8 (fake-quant STE convergence-experiment
     # mode — the int8 MXU arithmetic in f32, docs/KERNELS.md)
-    compute_dtype = ui.get_enum("COMPUTEDTYPE", "f32",
-                                ["f32", "bf16", "int8", "int8pf", "int8full"])
+    compute_dtype = ui.get_enum(
+        "COMPUTEDTYPE", "f32",
+        ["f32", "bf16", "int8", "int8pf", "int8pfsr", "int8full"])
     ui.check_command_line_param_use()
 
     if p_script is None:

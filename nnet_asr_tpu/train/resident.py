@@ -334,6 +334,10 @@ class ResidentNewbob:
                 tr.params, tr.velocity, acc = tr._drain_train(
                     tr.params, tr.velocity, acc, feats_all, labels_all,
                     tr._lr)
+                if "_sr_key" in acc:
+                    # advance the stochastic-rounding stream across
+                    # stacks/epochs (trainer._drain_cache analog)
+                    tr._sr_key = acc["_sr_key"]
                 self._merge(stats, acc)
             host = [{k: np.asarray(v) for k, v in p.items()}
                     for p in tr.params]

@@ -109,17 +109,24 @@ class Trainer:
 
         use_pallas = cfg.pallas_enabled()
         bf16 = cfg.compute_dtype == "bf16"
-        int8 = cfg.compute_dtype in ("int8", "int8pf", "int8full")
+        int8 = cfg.compute_dtype in ("int8", "int8pf", "int8pfsr",
+                                     "int8full")
         # 'int8pf': per-frame (row) activation scales instead of
         # per-tensor — finer, and still MXU-valid (a row scale factors
         # out of the contraction like the per-output-channel weight
-        # scale). The QAT-refinement experiment of docs/KERNELS.md.
-        act_axis = -1 if cfg.compute_dtype == "int8pf" else None
+        # scale). 'int8pfsr' additionally rounds the activation
+        # quantizer STOCHASTICALLY during training (round-to-nearest at
+        # eval) so the quantization error is zero-mean instead of biased
+        # once the LR anneals below the noise floor — the QAT ladder of
+        # docs/KERNELS.md.
+        act_axis = (-1 if cfg.compute_dtype in ("int8pf", "int8pfsr")
+                    else None)
+        sr = cfg.compute_dtype == "int8pfsr"
 
         def _cast(v):
             return v.astype(jnp.bfloat16) if bf16 else v
 
-        def _fq(t, axis=None):
+        def _fq(t, axis=None, key=None):
             # int8 fake-quant with straight-through gradients: the
             # quantize-dequantize arithmetic of the int8 MXU path
             # (per-output-channel weights / per-tensor activations,
@@ -128,10 +135,15 @@ class Trainer:
             # compute_dtype='int8' (docs/KERNELS.md int8 training)
             s = (jnp.max(jnp.abs(t), axis=axis, keepdims=axis is not None)
                  / 127.0 + 1e-12)
-            q = jnp.clip(jnp.round(t / s), -127, 127) * s
+            if key is not None:
+                # stochastic rounding: floor(x + u), u ~ U[0,1) — unbiased
+                u = jax.random.uniform(key, t.shape, dtype=t.dtype)
+                q = jnp.clip(jnp.floor(t / s + u), -127, 127) * s
+            else:
+                q = jnp.clip(jnp.round(t / s), -127, 127) * s
             return t + jax.lax.stop_gradient(q - t)
 
-        def forward_logits(params, x):
+        def forward_logits(params, x, key=None):
             from ..models.components import BiasedLinearity as BL, Sigmoid as Sg
 
             x = _cast(x)
@@ -158,7 +170,9 @@ class Trainer:
                         x = qmatmul(x, params[i]["weight"]) \
                             + params[i]["bias"]
                     else:
-                        x = (_fq(x, axis=act_axis)
+                        kk = (jax.random.fold_in(key, i)
+                              if key is not None else None)
+                        x = (_fq(x, axis=act_axis, key=kk)
                              @ _fq(params[i]["weight"], axis=0)
                              + params[i]["bias"])
                 elif bf16 and isinstance(spec, BL):
@@ -183,8 +197,8 @@ class Trainer:
             stats["confusion_count"] = jnp.sum(oh_lab, axis=0)
             return stats
 
-        def loss_fn(params, feats, labels):
-            logits = forward_logits(params, feats)
+        def loss_fn(params, feats, labels, key=None):
+            logits = forward_logits(params, feats, key)
             if cfg.objective == "xent":
                 if not has_softmax:
                     raise ValueError("CE objective expects a softmax output layer")
@@ -209,17 +223,29 @@ class Trainer:
             # ``lr`` (runtime scalar) overrides the compile-time rate:
             # newbob halves the rate between epochs and a traced value
             # keeps one compiled program across the schedule
+            key = next_key = None
+            if sr:
+                # the SR key rides in the stats accumulator so the drain
+                # scan needs no signature change; eval stays
+                # deterministic (no key -> round-to-nearest)
+                next_key, key = jax.random.split(acc["_sr_key"])
             (_, stats), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, feats, labels)
+                loss_fn, has_aux=True)(params, feats, labels, key)
             params, velocity = apply_updates(
                 net, params, velocity, grads, sgd_cfg,
                 feats.shape[0], factors, learning_rate=lr)
-            acc = {k: acc[k] + stats[k] for k in acc}
+            acc = {k: acc[k] + stats[k] for k in stats if k in acc}
+            if sr:
+                acc["_sr_key"] = next_key
             return params, velocity, acc
 
         def eval_step(acc, params, feats, labels):
             _, stats = loss_fn(params, feats, labels)
-            return {k: acc[k] + stats[k] for k in acc}
+            out = {k: acc[k] + stats[k] for k in stats if k in acc}
+            for k in acc:              # passthrough (the SR key, if any)
+                if k not in stats:
+                    out[k] = acc[k]
+            return out
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(eval_step, donate_argnums=(0,))
@@ -262,9 +288,16 @@ class Trainer:
                 n = self.net.n_outputs
                 acc["confusion"] = jnp.zeros((n, n), jnp.float32)
                 acc["confusion_count"] = jnp.zeros((n,), jnp.float32)
-            return acc
-        return {"mse": jnp.zeros((), jnp.float32),
-                "frames": jnp.zeros((), jnp.int32)}
+        else:
+            acc = {"mse": jnp.zeros((), jnp.float32),
+                   "frames": jnp.zeros((), jnp.int32)}
+        if self.cfg.compute_dtype == "int8pfsr" and not self.cfg.crossvalidate:
+            # stochastic-rounding key: advances per train step inside the
+            # drain scan; a fresh per-cache seed would repeat noise
+            self._sr_key = getattr(
+                self, "_sr_key", jax.random.PRNGKey(self.cfg.seed or 1))
+            acc["_sr_key"] = self._sr_key
+        return acc
 
     def _merge_acc(self, acc):
         if self.cfg.objective == "xent":
@@ -302,6 +335,10 @@ class Trainer:
                 self.params, self.velocity, acc = self._drain_train(
                     self.params, self.velocity, acc, feats_all, labels_all,
                     self._lr)
+        if "_sr_key" in acc:
+            # carry the advanced SR key into the next cache's accumulator
+            # (device array, no host sync)
+            self._sr_key = acc["_sr_key"]
         self._accs.append(acc)
 
     def _flush_acc(self) -> None:
