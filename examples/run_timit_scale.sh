@@ -32,13 +32,32 @@ DIM_IN=23
 DCT_BASE=16
 HIDDEN=500
 LEARNRATE=4.0
+BUNCH=1024
+CACHE=65536
+if [ -n "${NNET_TS_TOY_WAV:-}" ]; then
+  # a toy wav corpus has fewer CV frames than one production bunch —
+  # the Cache's sub-bunch tail discard would evaluate 0 frames
+  BUNCH=128
+  CACHE=8192
+fi
 
 mkdir -p $W
 cd $W
 
-echo "=== stage 1: prepare (synthetic TIMIT-scale corpus) ==="
+echo "=== stage 1: prepare ==="
+# NNET_TS_WAV_DIR=<dir>: build the workdir from REAL labelled audio
+# (wav/raw + .phn/.lab) through the native front end instead of the
+# synthetic corpus — the reference's prepare_timit/HCopy stage, native
+# (examples/prepare_from_wav.py). NNET_TS_TOY_WAV=N: a small synthesized
+# wav corpus through the same wav->features path.
 if [ ! -f $W/workdir/dicts/phones ]; then
-  python $REPO/examples/prepare_timit_scale.py $W/workdir
+  if [ -n "${NNET_TS_WAV_DIR:-}" ]; then
+    python $REPO/examples/prepare_from_wav.py "$NNET_TS_WAV_DIR" $W/workdir
+  elif [ -n "${NNET_TS_TOY_WAV:-}" ]; then
+    python $REPO/examples/prepare_from_wav.py --toy "$NNET_TS_TOY_WAV" $W/workdir
+  else
+    python $REPO/examples/prepare_timit_scale.py $W/workdir
+  fi
 fi
 NPHONES=$(wc -l < $W/workdir/dicts/phones)
 echo "phones: $NPHONES"
@@ -86,7 +105,7 @@ time python -m nnet_asr_tpu.tools.scheduler \
   --phonelist=$W/workdir/dicts/phones \
   --learnrate=$LEARNRATE --frm-ext=$FRM_EXT \
   --feature-transform=$FEATURE_TRANSFORM \
-  --bunchsize=1024 --cachesize=65536 --max-iter=${MAX_ITER:-8} \
+  --bunchsize=$BUNCH --cachesize=$CACHE --max-iter=${MAX_ITER:-8} \
   --weights-dir=$W/weights $SCHED_FLAGS
 FINAL=$(ls -t $W/weights/* 2>/dev/null | grep -v rejected | head -1)
 echo "final network: $FINAL"

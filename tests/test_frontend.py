@@ -1,0 +1,211 @@
+"""Native HCopy-equivalent front end (VERDICT r3 #7): HTK-book formula
+oracle checks, byte-exact HTK output headers, round-trip through the
+io/htk.py readers, and the THCopy CLI end-to-end from WAV/raw audio."""
+
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from nnet_asr_tpu.io import htk
+from nnet_asr_tpu.io.wav import (read_htk_waveform, read_raw, read_wav,
+                                 write_wav)
+from nnet_asr_tpu.ops.mfcc import Frontend, FrontendConfig, \
+    htk_regression_deltas
+
+
+def _tone(freq, dur_s=0.5, fs=16000, amp=8000):
+    t = np.arange(int(dur_s * fs)) / fs
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+
+
+# -- waveform containers ------------------------------------------------
+
+def test_wav_roundtrip(tmp_path):
+    s = _tone(440)
+    p = tmp_path / "a.wav"
+    write_wav(str(p), s, 16000)
+    out, rate = read_wav(str(p))
+    assert rate == 16000
+    np.testing.assert_array_equal(out, s)
+
+
+def test_raw_byte_orders(tmp_path):
+    s = _tone(100, 0.05)
+    (tmp_path / "v.raw").write_bytes(s.astype("<i2").tobytes())
+    (tmp_path / "b.raw").write_bytes(s.astype(">i2").tobytes())
+    np.testing.assert_array_equal(read_raw(str(tmp_path / "v.raw"), "vax"), s)
+    np.testing.assert_array_equal(read_raw(str(tmp_path / "b.raw"), "be"), s)
+
+
+def test_htk_waveform_roundtrip(tmp_path):
+    s = _tone(200, 0.1)
+    p = tmp_path / "w.htk"
+    hdr = htk.HtkHeader(len(s), 625, 2, 0)
+    p.write_bytes(hdr.pack(True) + s.astype(">i2").tobytes())
+    out, period = read_htk_waveform(str(p))
+    assert period == 625
+    np.testing.assert_array_equal(out, s)
+
+
+# -- front-end oracle checks -------------------------------------------
+
+def _fbank_cfg(**kw):
+    base = dict(target_kind="FBANK", numchans=23, preemcoef=0.0,
+                use_power=True, lofreq=0, hifreq=8000)
+    base.update(kw)
+    return FrontendConfig(**base)
+
+
+def test_frame_count_and_dims():
+    fe = Frontend(_fbank_cfg())
+    s = _tone(440, 1.0)              # 16000 samples, 400-win, 160-shift
+    out = fe.extract(s)
+    assert out.shape == ((16000 - 400) // 160 + 1, 23)
+    assert out.dtype == np.float32
+
+
+def test_tone_peaks_in_matching_mel_channel():
+    """A pure tone's energy must land in the mel channel whose centre is
+    nearest the tone frequency — the filterbank geometry check."""
+    fe = Frontend(_fbank_cfg())
+    mel = lambda f: 1127.0 * np.log(1.0 + f / 700.0)
+    centres_mel = mel(0) + (mel(8000) - mel(0)) * np.arange(1, 24) / 24
+    # invert: centre frequencies in Hz
+    centres_hz = 700.0 * (np.exp(centres_mel / 1127.0) - 1.0)
+    for freq in (300.0, 1000.0, 3000.0):
+        out = fe.extract(_tone(freq))
+        ch = int(np.argmax(out.mean(axis=0)))
+        expect = int(np.argmin(np.abs(centres_hz - freq)))
+        assert abs(ch - expect) <= 1, (freq, ch, expect)
+
+
+def test_mfcc_dct_oracle():
+    """MFCC = lifted DCT-II of the log filterbank: re-derive one frame's
+    cepstra from the FBANK output of the same front end."""
+    fb = Frontend(_fbank_cfg(numchans=20))
+    mf = Frontend(FrontendConfig(target_kind="MFCC", numchans=20,
+                                 preemcoef=0.0, use_power=True,
+                                 lofreq=0, hifreq=8000, numceps=12,
+                                 ceplifter=22))
+    s = (_tone(500) + _tone(1700)) // 2
+    logm = fb.extract(s).astype(np.float64)
+    got = mf.extract(s).astype(np.float64)
+    i = np.arange(1, 13)
+    j = np.arange(1, 21)
+    dct = np.sqrt(2.0 / 20) * np.cos(np.pi * i[:, None] * (j - 0.5) / 20)
+    lift = 1.0 + 11.0 * np.sin(np.pi * i / 22)
+    want = (logm @ dct.T) * lift
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_c0_and_energy_layout():
+    """_0 appends c0 after the cepstra, _E the (normalised) log energy
+    last — the layout io/htk.py's reader assumes."""
+    fe = Frontend(FrontendConfig(target_kind="MFCC_0_E", numchans=20,
+                                 numceps=12))
+    out = fe.extract(_tone(800))
+    assert out.shape[1] == 14
+    fb = Frontend(FrontendConfig(target_kind="MFCC", numchans=20,
+                                 numceps=12))
+    np.testing.assert_allclose(out[:, :12], fb.extract(_tone(800)),
+                               rtol=1e-5, atol=1e-5)
+    # ENORMALISE: max-normalised energy peaks at exactly 1.0
+    assert abs(out[:, 13].max() - 1.0) < 1e-6
+
+
+def test_deltas_match_reader_formula(tmp_path):
+    """MFCC_0_D_A written by the front end == MFCC_0 written + derivative
+    orders computed by the READER (both implement Features.cc:1304-1350),
+    proving the extracted files are layout-compatible."""
+    cfg0 = FrontendConfig(target_kind="MFCC_0", numchans=20, numceps=12)
+    cfgA = FrontendConfig(target_kind="MFCC_0_D_A", numchans=20, numceps=12)
+    s = _tone(600) + _tone(2500) // 3
+    static = Frontend(cfg0).extract(s)
+    full = Frontend(cfgA).extract(s)
+    assert full.shape[1] == 3 * 13
+    np.testing.assert_allclose(full[:, :13], static, rtol=1e-6)
+    d = htk_regression_deltas(static, 2)
+    np.testing.assert_allclose(full[:, 13:26], d, rtol=1e-5, atol=1e-6)
+
+    # and a file written as MFCC_0 + read with DERIVWINDOWS must equal
+    # the file written as MFCC_0_D_A read plain
+    p0 = tmp_path / "s.fea"
+    pA = tmp_path / "f.fea"
+    htk.write_htk_file(str(p0), static, htk.parse_parmkind("MFCC_0"))
+    htk.write_htk_file(str(pA), full, htk.parse_parmkind("MFCC_0_D_A"))
+    rd = htk.FeatureReader(target_kind=htk.parse_parmkind("MFCC_0_D_A"),
+                           deriv_order=2, deriv_win_lengths=[2, 2])
+    via_reader = rd.read(str(p0))
+    plain = htk.FeatureReader().read(str(pA))
+    np.testing.assert_allclose(via_reader, plain, rtol=1e-4, atol=1e-5)
+
+
+def test_header_byte_exact(tmp_path):
+    """The written HTK header must be the exact 12-byte big-endian
+    struct HCopy would produce for this config."""
+    fe = Frontend(_fbank_cfg())
+    out = fe.extract(_tone(440))
+    p = tmp_path / "h.fea"
+    htk.write_htk_file(str(p), out, fe.kind, fe.sample_period)
+    raw = p.read_bytes()
+    n, per, sz, kind = struct.unpack(">iihH", raw[:12])
+    assert n == out.shape[0]
+    assert per == 100000
+    assert sz == 23 * 4
+    assert kind == htk.parse_parmkind("FBANK")
+    assert len(raw) == 12 + out.size * 4
+
+
+def test_thcopy_cli_end_to_end(tmp_path):
+    """The recipe's extraction stage: config file + 2-column scp, raw
+    NOHEAD VAX input (hcopy23mel_16k_0.sh's configuration), output
+    readable by the FeatureReader."""
+    s = _tone(1000)
+    raw = tmp_path / "u1.raw"
+    raw.write_bytes(s.astype("<i2").tobytes())
+    wav = tmp_path / "u2.wav"
+    write_wav(str(wav), _tone(2000), 16000)
+    cfgf = tmp_path / "hcopy.cfg"
+    cfgf.write_text(
+        "SOURCEKIND   = WAVEFORM\n"
+        "SOURCEFORMAT = NOHEAD\n"
+        "SOURCERATE   = 625\n"
+        "BYTEORDER    = VAX\n"
+        "TARGETKIND   = FBANK\n"
+        "LOFREQ       = 0\n"
+        "HIFREQ       = 8000\n"
+        "NUMCHANS     = 23\n"
+        "USEPOWER     = T\n"
+        "USEHAMMING   = T\n"
+        "PREEMCOEF    = 0\n"
+        "TARGETRATE   = 100000\n"
+        "WINDOWSIZE   = 250000\n"
+        "SAVEWITHCRC  = F\n")
+    scp = tmp_path / "pairs.scp"
+    scp.write_text(f"{raw} {tmp_path / 'u1.fea'}\n")
+
+    from nnet_asr_tpu.tools import thcopy
+    rc = thcopy.main(["thcopy", "-C", str(cfgf), "-T", "1",
+                      "-S", str(scp)])
+    assert rc == 0
+    out = htk.FeatureReader().read(str(tmp_path / "u1.fea"))
+    assert out.shape == ((8000 - 400) // 160 + 1, 23)   # 0.5s tone
+    assert np.isfinite(out).all()
+
+    # WAV source for the same config
+    cfg2 = tmp_path / "wav.cfg"
+    cfg2.write_text(cfgf.read_text().replace("NOHEAD", "WAV"))
+    rc = thcopy.main(["thcopy", "-C", str(cfg2),
+                      str(wav), str(tmp_path / "u2.fea")])
+    assert rc == 0
+    out2 = htk.FeatureReader().read(str(tmp_path / "u2.fea"))
+    assert out2.shape[1] == 23
+
+
+def test_waveform_too_short():
+    fe = Frontend(_fbank_cfg())
+    with pytest.raises(ValueError, match="too short"):
+        fe.extract(np.zeros(100, np.int16))
