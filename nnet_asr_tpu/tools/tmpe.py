@@ -132,6 +132,10 @@ def main(argv=None) -> int:
     # runs utterance i's lattice forward-backward.
     crossval = ui.get_bool("CROSSVALIDATE", False)
     lookahead = ui.get_int("LOOKAHEAD", 8)
+    # --MESH=DxM: NN forward + error backprop frame-sharded over the data
+    # axis of a device mesh (parallel/sharded_aux.py); the host lattice
+    # engine is unchanged. tnet --MESH's analog for sequence training.
+    mesh_spec = ui.get_str("MESH")
     # within-arc forward-backward engine: 'jax' batches the recursions on
     # the accelerator next to the NN forward pass (ops/mpe_device.py,
     # parity-tested vs the numpy engine); 'auto' picks jax whenever a
@@ -207,29 +211,40 @@ def main(argv=None) -> int:
     velocity = init_momentum(net, sgd_cfg.momentum, sgd_cfg.velocity_dtype)
     body_specs = net.specs[:-1]
 
-    def forward(params, x):
-        for spec, p in zip(body_specs, params):
-            x = spec.apply(p, x)
-        return x        # logits (pre-softmax)
+    if mesh_spec:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded_aux import make_sharded_mpe_step
 
-    def forward_logpost(params, x):
-        return jax.nn.log_softmax(forward(params, x), axis=-1)
+        d, _, m = mesh_spec.lower().partition("x")
+        mesh = make_mesh(data=int(d), model=int(m) if m else 1)
+        # bucket-padded feats are multiples of 4096 (train/pipeline.py),
+        # always divisible by the data axis
+        forward_j, update_j = make_sharded_mpe_step(net, sgd_cfg, mesh)
+    else:
+        def forward(params, x):
+            for spec, p in zip(body_specs, params):
+                x = spec.apply(p, x)
+            return x        # logits (pre-softmax)
 
-    forward_j = jax.jit(forward_logpost)
+        def forward_logpost(params, x):
+            return jax.nn.log_softmax(forward(params, x), axis=-1)
 
-    def update(params, velocity, feats, err, n_frames):
-        # backprop the externally-computed error through the logits
-        # (softmax backward = identity, as the reference does); rows
-        # beyond the utterance are zero in ``err`` so T can ride
-        # bucket-padded (n_frames carries the true count for GRADDIVFRM)
-        def surrogate(params):
-            logits = forward(params, feats)
-            return jnp.sum(logits * err)
-        grads = jax.grad(surrogate)(params)
-        return apply_updates(net, params, velocity, grads, sgd_cfg,
-                             n_frames, factors)
+        forward_j = jax.jit(forward_logpost)
 
-    update_j = jax.jit(update, donate_argnums=(0, 1))
+        def update(params, velocity, feats, err, n_frames):
+            # backprop the externally-computed error through the logits
+            # (softmax backward = identity, as the reference does); rows
+            # beyond the utterance are zero in ``err`` so T can ride
+            # bucket-padded (n_frames carries the true count for
+            # GRADDIVFRM)
+            def surrogate(params):
+                logits = forward(params, feats)
+                return jnp.sum(logits * err)
+            grads = jax.grad(surrogate)(params)
+            return apply_updates(net, params, velocity, grads, sgd_cfg,
+                                 n_frames, factors)
+
+        update_j = jax.jit(update, donate_argnums=(0, 1))
 
     print(f"===== TMpe {'CROSSVALIDATION' if crossval else 'TRAINING'} "
           f"STARTED =====")

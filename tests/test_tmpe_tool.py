@@ -161,6 +161,32 @@ def test_tmpe_crossvalidate(mpe_setup, tmp_path, capsys):
     assert abs(float(line3.split()[3]) - cv_acc) < 1e-4
 
 
+def test_tmpe_mesh_matches_single_chip(mpe_setup, tmp_path):
+    """--MESH=8x1: the frame-sharded forward/update (sharded_aux) must
+    reproduce the single-chip tmpe trajectory on the mini task."""
+    tmp, utts = mpe_setup
+    from nnet_asr_tpu.tools import tmpe
+
+    common = [
+        "-I", str(tmp / "labels.mlf"), "-L", "*/", "-X", "lab",
+        "-m", str(tmp / "phones.map"), "-S", str(tmp / "train.scp"),
+        "--HMM=" + str(tmp / "hmms.mmf"),
+        "--LATTICEDIR=" + str(tmp / "lats"),
+        "--OUTPSCALE=1.0", "--LEARNINGRATE=2.0",
+    ]
+    out_sc = tmp_path / "sc.mmf"
+    tmpe.main(["tmpe", "-H", str(tmp / "init.mmf"),
+               "--TARGETMMF=" + str(out_sc)] + common)
+    out_mesh = tmp_path / "mesh.mmf"
+    tmpe.main(["tmpe", "-H", str(tmp / "init.mmf"), "--MESH=8x1",
+               "--TARGETMMF=" + str(out_mesh)] + common)
+    a = Network.read(str(out_sc))
+    b = Network.read(str(out_mesh))
+    for pa, pb in zip(a.params, b.params):
+        for k in pa:
+            np.testing.assert_allclose(pb[k], pa[k], rtol=2e-4, atol=1e-6)
+
+
 def test_tmpe_pruning_and_retry_loop(mpe_setup, monkeypatch, capsys):
     """-t beam inc max: the widen-and-retry loop of TMpeCu.cc:587-609.
     Force the first two compute() calls to underflow and check the tool
