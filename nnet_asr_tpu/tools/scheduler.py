@@ -75,7 +75,8 @@ def main(argv=None) -> int:
     # matmul compute dtype (tnet --COMPUTEDTYPE): f32 (parity default) |
     # bf16 | int8 (fake-quant STE convergence mode, docs/KERNELS.md)
     ap.add_argument("--compute-dtype", default=_env("COMPUTE_DTYPE"),
-                    choices=[None, "f32", "bf16", "int8", "int8pf", "int8full"])
+                    choices=[None, "f32", "bf16", "int8", "int8pf",
+                             "int8pfsr", "int8full"])
     args = ap.parse_args(argv)
 
     for req in ("nn_init", "mlf_train", "mlf_cv", "scp_train", "scp_cv",

@@ -293,10 +293,14 @@ class Trainer:
                    "frames": jnp.zeros((), jnp.int32)}
         if self.cfg.compute_dtype == "int8pfsr" and not self.cfg.crossvalidate:
             # stochastic-rounding key: advances per train step inside the
-            # drain scan; a fresh per-cache seed would repeat noise
+            # drain scan; a fresh per-cache seed would repeat noise.
+            # The acc gets a COPY — accs are donated into the drains, and
+            # donating the buffer self._sr_key references would delete it
+            # out from under the next cache (seen in the resident cv
+            # loop, which never updates the key after eval drains)
             self._sr_key = getattr(
                 self, "_sr_key", jax.random.PRNGKey(self.cfg.seed or 1))
-            acc["_sr_key"] = self._sr_key
+            acc["_sr_key"] = jnp.array(self._sr_key, copy=True)
         return acc
 
     def _merge_acc(self, acc):

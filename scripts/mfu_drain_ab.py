@@ -296,6 +296,73 @@ def run_int8(config, bunch=1024, nb=8, M=8):
           flush=True)
 
 
+def run_split(bunch=1024, nb=8, M=8):
+    """mom9_split: the momentum step as TWO XLA programs per bunch —
+    grads in one, the v→p momentum chain in the other — probing whether
+    program-boundary scheduling beats the single program's post-backward
+    tail (VERDICT r3 #4). The host loop dispatches asynchronously; slope
+    over call counts cancels RTT+dispatch constants (but NOT the
+    per-call dispatch itself, which is a real cost of the split)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nnet_asr_tpu.ops.objectives import xent_loss_and_stats
+    from nnet_asr_tpu.train.sgd import SgdConfig, apply_updates, \
+        init_momentum, layer_lr_factors
+
+    net = build(DIMS)
+    sgd = SgdConfig(learning_rate=0.01, momentum=0.9)
+    factors = tuple(layer_lr_factors(net, sgd))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray((0.1 * rng.standard_normal(
+        (bunch, DIMS[0]))).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, DIMS[-1], bunch).astype(np.int32))
+    specs = net.specs
+
+    def loss_fn(params, xx, lab):
+        for spec, p in zip(specs[:-1], params[:-1]):
+            xx = spec.apply(p, xx)
+        loss, _ = xent_loss_and_stats(xx, lab)
+        return loss
+
+    grad_j = jax.jit(jax.grad(loss_fn))
+
+    def upd(params, velocity, grads):
+        return apply_updates(net, params, velocity, grads, sgd, bunch,
+                             factors)
+
+    upd_j = jax.jit(upd, donate_argnums=(0, 1, 2))
+
+    params = jax.device_put(
+        [{k: jnp.asarray(v) for k, v in p.items()} for p in net.params])
+    velocity = jax.device_put(init_momentum(net, 0.9, None))
+    t0 = time.perf_counter()
+    g = grad_j(params, x, labels)
+    params, velocity = upd_j(params, velocity, g)
+    jax.block_until_ready(params)
+    print(f"[compile+warm {time.perf_counter()-t0:.1f}s]", flush=True)
+
+    def window(k):
+        nonlocal params, velocity
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                g = grad_j(params, x, labels)
+                params, velocity = upd_j(params, velocity, g)
+            float(params[0]["weight"][0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k1, k2 = nb * M, 4 * nb * M
+    best = (window(k2) - window(k1)) / (k2 - k1)
+    n_params = sum(DIMS[i] * DIMS[i + 1] for i in range(len(DIMS) - 1))
+    fl = 3 * 2 * n_params * bunch
+    print(f"mom9_split bunch={bunch}: {best*1e6:6.0f}us/bunch  "
+          f"{fl/best/1e12:6.1f} TFLOP/s ({fl/best/PEAK_BF16*100:4.1f}% "
+          f"of bf16 peak)", flush=True)
+
+
 def run(config, bunch=1024, nb=8, M=8):
     import jax
     import jax.numpy as jnp
@@ -303,6 +370,8 @@ def run(config, bunch=1024, nb=8, M=8):
     from nnet_asr_tpu.train.sgd import SgdConfig
     from nnet_asr_tpu.train.trainer import Trainer, TrainerConfig
 
+    if config == "mom9_split":
+        return run_split(bunch=bunch, nb=nb, M=M)
     if config.startswith("mom9_fused") or config == "mom9_manual":
         return run_fused(config, bunch=bunch, nb=nb, M=M)
     if config.startswith("int8"):
@@ -372,7 +441,7 @@ if __name__ == "__main__":
                     choices=["unroll1", "unroll4", "unroll8", "unroll16",
                              "pallas", "bf16", "mom9", "mom9_bf16v",
                              "mom9_fused", "mom9_fused_bf16v", "mom9_manual",
-                             "int8fwd", "int8all"])
+                             "mom9_split", "int8fwd", "int8all"])
     ap.add_argument("--bunch", type=int, default=1024)
     ap.add_argument("--nb", type=int, default=8)
     ap.add_argument("--M", type=int, default=8)

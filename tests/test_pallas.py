@@ -212,3 +212,17 @@ def test_int8pfsr_stochastic_rounding_mode():
         tr.run_epoch(iter([(X, y)]))
         evals.append((tr.stats.error, tr.stats.corr))
     assert evals[0] == evals[1]
+
+    # resident-style interleaving: a TRAIN trainer's eval drains consume
+    # donated accs that carry the SR key — the key must survive repeated
+    # _zero_acc/_drain_eval rounds (regression: 'Array has been deleted')
+    import jax.numpy as jnp
+    fa = jnp.asarray(np.stack([X[:32], X[32:]]))
+    la = jnp.asarray(np.stack([y[:32], y[32:]]))
+    for _ in range(3):
+        acc = tr_sr._zero_acc()
+        acc = tr_sr._drain_eval(tr_sr.params, acc, fa, la)
+    acc = tr_sr._zero_acc()
+    tr_sr.params, tr_sr.velocity, acc = tr_sr._drain_train(
+        tr_sr.params, tr_sr.velocity, acc, fa, la, tr_sr._lr)
+    assert np.isfinite(float(acc["xent"]))
