@@ -279,6 +279,7 @@ class MpeComputer:
         self._senone_cache = {
             name: h.senone_ids(label_map) for name, h in hmms.items()}
         self._tp_stacks: Dict[int, tuple] = {}   # n_states -> (stack, index)
+        self._ones_cache: Dict[int, np.ndarray] = {}  # shared 1-state occs
         with np.errstate(divide="ignore"):
             # TRANSPSCALE multiplies the log transitions (STK stores log
             # probs in mpMatrixO; Decoder.tcc:1962 scales them by
@@ -330,6 +331,16 @@ class MpeComputer:
             arcs.append(info)
         return arcs, buckets
 
+    def _tp_stack(self, S):
+        stack, index = self._tp_stacks.get(S, (None, None))
+        if stack is None:
+            names = [nm for nm, tp in self._log_tp.items()
+                     if tp.shape[0] == S + 2]
+            index = {nm: j for j, nm in enumerate(names)}
+            stack = np.stack([self._log_tp[nm] for nm in names])
+            self._tp_stacks[S] = (stack, index)
+        return stack, index
+
     def _bucket_inputs(self, arcs, idxs, L, S, log_post):
         # one fancy-index gather per bucket instead of a per-arc slice
         # loop (measured hot spot at TIMIT lattice scale)
@@ -339,15 +350,45 @@ class MpeComputer:
         tix = t0s[:, None] + np.arange(L, dtype=np.int64)[None, :]
         obs = self.cfg.outprb_scale * log_post[tix[:, :, None],
                                                sen[:, None, :]]
-        stack, index = self._tp_stacks.get(S, (None, None))
-        if stack is None:
-            names = [nm for nm, tp in self._log_tp.items()
-                     if tp.shape[0] == S + 2]
-            index = {nm: j for j, nm in enumerate(names)}
-            stack = np.stack([self._log_tp[nm] for nm in names])
-            self._tp_stacks[S] = (stack, index)
+        stack, index = self._tp_stack(S)
         rows = np.fromiter((index[arcs[i].phone] for i in idxs), np.int64, k)
         return obs, stack[rows]
+
+    def _single_state_lls(self, arcs, idxs, prefix):
+        """Closed-form arc log-likelihoods for 1-emitting-state phones
+        (the TIMIT recipe's whole HMM class): the within-arc FB has one
+        forced path, ll = entry + Σobs + (L−1)·self + exit, with Σobs an
+        O(1) prefix-sum difference instead of an (A, L) gather + scan —
+        exact vs arc_forward_backward_batch (tests/test_mpe.py)."""
+        k = len(idxs)
+        t0 = np.fromiter((arcs[i].t0 for i in idxs), np.int64, k)
+        t1 = np.fromiter((arcs[i].t1 for i in idxs), np.int64, k)
+        sen = np.fromiter((arcs[i].senones[0] for i in idxs), np.int64, k)
+        obs_sum = self.cfg.outprb_scale * (prefix[t1, sen] - prefix[t0, sen])
+        stack, index = self._tp_stack(1)
+        rows = np.fromiter((index[arcs[i].phone] for i in idxs),
+                           np.int64, k)
+        lt = stack[rows]                       # (k, 3, 3)
+        L = (t1 - t0).astype(np.float64)
+        with np.errstate(invalid="ignore", over="ignore"):
+            ll = (obs_sum + lt[:, 0, 1] + lt[:, 1, 2]
+                  + np.where(L > 1, (L - 1.0) * lt[:, 1, 1], 0.0))
+        ll = np.where(np.isfinite(ll) & (ll > LOG_ZERO / 2), ll, LOG_ZERO)
+        return ll
+
+    def _ones_occ(self, L):
+        occ = self._ones_cache.get(L)
+        if occ is None:
+            occ = self._ones_cache[L] = np.ones((L, 1))
+            occ.setflags(write=False)          # shared across arcs
+        return occ
+
+    @staticmethod
+    def _posterior_prefix(log_post):
+        T, C = log_post.shape
+        prefix = np.zeros((T + 1, C))
+        np.cumsum(log_post, axis=0, dtype=np.float64, out=prefix[1:])
+        return prefix
 
     def _obs_lt_lists(self, arcs, idxs, log_post):
         obs_list, lt_list = [], []
@@ -379,7 +420,18 @@ class MpeComputer:
                     arcs[i].occupancy = occs[j]
                     arcs[i].score += lls[j]
             return arcs, buckets
+        prefix = None
         for (L, S), idxs in buckets.items():
+            if S == 1:
+                if prefix is None:
+                    prefix = self._posterior_prefix(log_post)
+                lls = self._single_state_lls(arcs, idxs, prefix)
+                occ1 = self._ones_occ(L)
+                for j, i in enumerate(idxs):
+                    arcs[i].log_like = float(lls[j])
+                    arcs[i].occupancy = occ1
+                    arcs[i].score += float(lls[j])
+                continue
             obs, lt = self._bucket_inputs(arcs, idxs, L, S, log_post)
             lls, occs = self._arc_fb_batch(obs, lt)
             for j, i in enumerate(idxs):
@@ -402,9 +454,15 @@ class MpeComputer:
                     arcs[i].log_like = lls[j]
                     arcs[i].score += lls[j]
             return arcs, buckets
+        prefix = None
         for (L, S), idxs in buckets.items():
-            obs, lt = self._bucket_inputs(arcs, idxs, L, S, log_post)
-            lls = self._arc_fwd_batch(obs, lt)
+            if S == 1:
+                if prefix is None:
+                    prefix = self._posterior_prefix(log_post)
+                lls = self._single_state_lls(arcs, idxs, prefix)
+            else:
+                obs, lt = self._bucket_inputs(arcs, idxs, L, S, log_post)
+                lls = self._arc_fwd_batch(obs, lt)
             for j, i in enumerate(idxs):
                 arcs[i].log_like = float(lls[j])
                 arcs[i].score += float(lls[j])
@@ -426,6 +484,11 @@ class MpeComputer:
             a = arcs[i]
             buckets.setdefault((a.t1 - a.t0, len(a.senones)), []).append(i)
         for (L, S), ids in buckets.items():
+            if S == 1:                 # single forced path: occupancy 1
+                occ1 = self._ones_occ(L)
+                for i in ids:
+                    arcs[i].occupancy = occ1
+                continue
             obs, lt = self._bucket_inputs(arcs, ids, L, S, log_post)
             _, occs = self._arc_fb_batch(obs, lt)
             for j, i in enumerate(ids):

@@ -427,3 +427,42 @@ def test_occup_scale_exponentiates_ml_gammas():
     want = np.zeros((6, 4))
     want[:, [0, 1]] = occ ** s          # gamma_q == 1 on a single path
     np.testing.assert_allclose(g, want, atol=1e-6)
+
+
+def test_single_state_closed_form_matches_generic_fb():
+    """The S==1 closed-form arc scorer (prefix-sum + transition terms)
+    must equal arc_forward_backward_batch exactly, including the L=1
+    no-self-loop case and the all-ones occupancies."""
+    import numpy as np
+
+    from nnet_asr_tpu.train.mpe import (MpeComputer, MpeConfig,
+                                        arc_forward_backward_batch)
+    from nnet_asr_tpu.io.htk_hmm import Hmm
+
+    rng = np.random.default_rng(0)
+    tp = np.zeros((3, 3))
+    tp[0, 1] = 1.0
+    tp[1, 1], tp[1, 2] = 0.6, 0.4
+    hmms = {"a": Hmm(name="a", n_states=3, transp=tp,
+                 state_names=["a_s"])}
+    mpe = MpeComputer(hmms, {"a_s": 0}, MpeConfig(outprb_scale=0.7),
+                      engine="numpy")
+
+    log_post = np.log(rng.dirichlet(np.ones(4), size=30)).astype(np.float32)
+    prefix = mpe._posterior_prefix(log_post)
+
+    class FakeArc:
+        def __init__(self, t0, t1):
+            self.t0, self.t1 = t0, t1
+            self.phone = "a"
+            self.senones = [0]
+
+    for (t0, t1) in ((0, 1), (3, 4), (0, 30), (5, 17)):
+        arcs = [FakeArc(t0, t1)]
+        ll = mpe._single_state_lls(arcs, [0], prefix)
+        L = t1 - t0
+        obs = 0.7 * log_post[t0:t1, [0]][None, :, :].astype(np.float64)
+        lt = mpe._log_tp["a"][None]
+        ll_ref, occ_ref = arc_forward_backward_batch(obs, lt)
+        assert abs(float(ll[0]) - float(ll_ref[0])) < 1e-9, (t0, t1)
+        np.testing.assert_array_equal(mpe._ones_occ(L), occ_ref[0])
