@@ -32,6 +32,36 @@ from ..train.pipeline import TransformPipeline
 from ..train.sgd import SgdConfig, apply_updates, init_momentum, layer_lr_factors
 from ..utils.config import UserInterface
 
+def _fb_worker_init(hmm_path, label_map, cfg, engine):
+    """Per-process MpeComputer for the -c FB pool (module-level so it
+    pickles; each worker parses the HMM set once)."""
+    global _FB_MPE
+    from ..io.htk_hmm import parse_mmf
+    from ..train.mpe import MpeComputer
+
+    _FB_MPE = MpeComputer(parse_mmf(hmm_path), label_map, cfg,
+                          engine=engine)
+
+
+def _fb_one(lat, log_post, segs, weight, outprb_scale, thresh, prn_step,
+            prn_limit):
+    """One utterance's FB with the widen-and-retry loop; returns
+    avg_acc or None (skip)."""
+    mpe = _FB_MPE
+    mpe.cfg.outprb_scale = outprb_scale
+    while True:
+        try:
+            _, avg_acc, _ = mpe.compute(lat, log_post, segs,
+                                        utt_weight=weight, pruning=thresh)
+            return avg_acc
+        except FloatingPointError:
+            if thresh <= 0.0:
+                raise
+            if prn_step <= 0.0 or thresh + prn_step > prn_limit:
+                return None
+            thresh += prn_step
+
+
 OPTION_STRING = (
     " -c n   CROSSVALIDATE=TRUE"
     " -m r   OUTPUTLABELMAP"
@@ -132,6 +162,11 @@ def main(argv=None) -> int:
     # runs utterance i's lattice forward-backward.
     crossval = ui.get_bool("CROSSVALIDATE", False)
     lookahead = ui.get_int("LOOKAHEAD", 8)
+    # -c only: lattice FB on a PROCESS pool (the recursions are
+    # Python/numpy, so threads gain nothing); valid because evaluation
+    # has no update dependency between utterances. 1 = serial (default,
+    # byte-identical ordering).
+    fb_workers = ui.get_int("FBWORKERS", 1)
     # --MESH=DxM: NN forward + error backprop frame-sharded over the data
     # axis of a device mesh (parallel/sharded_aux.py); the host lattice
     # engine is unchanged. tnet --MESH's analog for sequence training.
@@ -378,21 +413,63 @@ def main(argv=None) -> int:
         if trace & 2:
             print(".", end="", flush=True)
 
+    if fb_workers > 1 and (not crossval or dictionary is not None
+                           or show_gamma):
+        print("WARNING: --FBWORKERS>1 applies to -c on plain phone "
+              "lattices without --SHOWGAMMA (training is per-utterance "
+              "sequential); running serial FB", file=sys.stderr)
+        fb_workers = 1
+
     reads = prefetch_map(read_one, entries, workers=4,
                          depth=max(2 * lookahead, 16))
     if crossval:
         # fixed params: dispatch up to ``lookahead`` forwards before the
-        # first fetch — host FB overlaps the device's queued forwards
+        # first fetch — host FB overlaps the device's queued forwards.
+        # With --FBWORKERS>1 the FB itself fans out over a process pool
+        # (evaluation has no update dependency between utterances; the
+        # recursions are Python/numpy so threads gain nothing).
         from collections import deque
         pend = deque()
+        pool = None
+        fb_futures = []
+        if fb_workers > 1:
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
+
+            # spawn, not fork: the parent runs JAX + prefetch threads,
+            # and fork with live threads deadlocks (JAX warns exactly
+            # this); workers are numpy-only and re-import cleanly.
+            # The spawned interpreters re-run sitecustomize, which would
+            # claim the TPU tunnel per worker (ONE client at a time is
+            # the tunnel rule) — blank the axon trigger + force CPU for
+            # the children (the parent's backend is already initialized)
+            import os as _os
+            _os.environ["PALLAS_AXON_POOL_IPS"] = ""
+            _os.environ["JAX_PLATFORMS"] = "cpu"
+            pool = ProcessPoolExecutor(
+                max_workers=fb_workers,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_fb_worker_init,
+                initargs=(p_hmm, labels_repo.label_map, mpe.cfg, "numpy"))
 
         def drain_one():
-            nonlocal t_fwd
+            nonlocal t_fwd, frames
             e, T, labs, segs, lat, feats, dev = pend.popleft()
             tf = time.time()
             log_post = np.asarray(dev)[:T]
             t_fwd += time.time() - tf
-            consume(e, T, labs, segs, lat, log_post, feats)
+            if pool is None:
+                consume(e, T, labs, segs, lat, log_post, feats)
+                return
+            scale = outprb_scale
+            th, st, lim = state_pruning, stprn_step, stprn_limit
+            if nframeoutpnorm:
+                scale = outprb_scale / T
+                th, st, lim = th / T, st / T, lim / T
+            fb_futures.append(pool.submit(
+                _fb_one, lat, log_post, segs, e.weight, scale,
+                th, st, lim))
+            frames += T
 
         for item in reads:
             tr = time.time()
@@ -407,6 +484,20 @@ def main(argv=None) -> int:
                 drain_one()
         while pend:
             drain_one()
+        if pool is not None:
+            td = time.time()
+            for fut in fb_futures:
+                avg_acc = fut.result()
+                if avg_acc is None:
+                    print("WARNING: Overpruning or bad data, skipping "
+                          "file", file=sys.stderr)
+                    continue
+                acc_sum += avg_acc
+                n_utts += 1
+                if trace & 2:
+                    print(".", end="", flush=True)
+            pool.shutdown()
+            t_decode += time.time() - td
     else:
         # sequential SGD semantics (TMpeCu.cc:461-672): utterance i+1's
         # forward must see utterance i's update, so forwards can't run

@@ -84,8 +84,8 @@ class MpeConfig:
     end_time_shift: float = 0.0
 
 
-@dataclass
-class ArcInfo:
+@dataclass(slots=True)
+class ArcInfo:          # slots: 16k instances per TIMIT lattice
     start: int
     end: int
     t0: int

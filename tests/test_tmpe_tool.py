@@ -160,6 +160,14 @@ def test_tmpe_crossvalidate(mpe_setup, tmp_path, capsys):
              if l.startswith("Avg MPE accuracy")][0]
     assert abs(float(line3.split()[3]) - cv_acc) < 1e-4
 
+    # multi-process FB pool: identical criterion, all utterances counted
+    tmpe.main(["tmpe", "-c", "-H", str(tmp / "init.mmf"),
+               "--FBWORKERS=2"] + common)
+    line4 = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("Avg MPE accuracy")][0]
+    assert float(line4.split()[3]) == cv_acc
+    assert int(line4.split()[5]) == 6
+
 
 def test_tmpe_mesh_matches_single_chip(mpe_setup, tmp_path):
     """--MESH=8x1: the frame-sharded forward/update (sharded_aux) must
