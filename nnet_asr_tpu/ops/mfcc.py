@@ -88,6 +88,18 @@ class Frontend:
                 f"{PARMKIND_BASE_NAMES[base] if base < 13 else base}")
         if base != PARMKIND_MFCC and (kind & PARMKIND_0):
             raise ValueError("_0 qualifier requires an MFCC target")
+        # Qualifiers the front end does not implement must not pass
+        # through silently: the written header would advertise (say) _N
+        # while the payload still carried c0/E, and io/htk.py readers —
+        # which honor PARMKIND_N — would mis-slice the feature layout.
+        from ..io.htk import PARMKIND_C, PARMKIND_K, PARMKIND_N, PARMKIND_V
+        for flag, name in ((PARMKIND_N, "_N"), (PARMKIND_C, "_C"),
+                           (PARMKIND_K, "_K"), (PARMKIND_V, "_V")):
+            if kind & flag:
+                raise ValueError(
+                    f"Frontend does not implement the {name} qualifier "
+                    f"(TARGETKIND={cfg.target_kind}); supported: "
+                    "_E _D _A _T _Z (+_0 on MFCC)")
         self.kind = kind
         self.base = base
 

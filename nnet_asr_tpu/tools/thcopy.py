@@ -56,7 +56,7 @@ def main(argv=None) -> int:
 
     source_kind = ui.get_str("SOURCEKIND", "WAVEFORM").upper()
     source_format = ui.get_str("SOURCEFORMAT", "HTK").upper()
-    byte_order = ui.get_str("BYTEORDER", "VAX")
+    byte_order = ui.get_str("BYTEORDER")
     natural = ui.get_bool("NATURALREADORDER", False)
     cfg = FrontendConfig(
         # (HTK's default is ANON = copy-through; an extraction tool needs
@@ -115,7 +115,18 @@ def main(argv=None) -> int:
     for src, dst in pairs:
         if source_format == "NOHEAD":
             from ..io.wav import read_raw
-            samples = read_raw(src, "be" if natural else byte_order)
+            # Reference semantics (TFeaCat.cc:139): swap = !GetBool(
+            # NATURALREADORDER, IsBigEndian()) — NATURALREADORDER=TRUE on
+            # x86 means machine-natural little-endian; otherwise BYTEORDER
+            # decides (VAX=little), defaulting to HTK's big-endian when
+            # neither is set.
+            if natural:
+                order = "le"
+            elif byte_order is not None:
+                order = byte_order
+            else:
+                order = "be"
+            samples = read_raw(src, order)
             period = cfg.source_rate
         elif source_format in ("WAV", "WAVE", "RIFF"):
             from ..io.wav import read_wav

@@ -466,10 +466,12 @@ def main(argv=None) -> int:
             if nframeoutpnorm:
                 scale = outprb_scale / T
                 th, st, lim = th / T, st / T, lim / T
-            fb_futures.append(pool.submit(
+            # frames counted at result collection, not submit: a worker
+            # may return None (overpruning skip) and the serial path only
+            # counts successful utterances
+            fb_futures.append((e.logical, T, pool.submit(
                 _fb_one, lat, log_post, segs, e.weight, scale,
-                th, st, lim))
-            frames += T
+                th, st, lim)))
 
         for item in reads:
             tr = time.time()
@@ -486,12 +488,13 @@ def main(argv=None) -> int:
             drain_one()
         if pool is not None:
             td = time.time()
-            for fut in fb_futures:
+            for name, T, fut in fb_futures:
                 avg_acc = fut.result()
                 if avg_acc is None:
-                    print("WARNING: Overpruning or bad data, skipping "
-                          "file", file=sys.stderr)
+                    print(f"WARNING: Overpruning or bad data, skipping "
+                          f"file {name}", file=sys.stderr)
                     continue
+                frames += T
                 acc_sum += avg_acc
                 n_utts += 1
                 if trace & 2:

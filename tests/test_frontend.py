@@ -209,3 +209,41 @@ def test_waveform_too_short():
     fe = Frontend(_fbank_cfg())
     with pytest.raises(ValueError, match="too short"):
         fe.extract(np.zeros(100, np.int16))
+
+
+def test_frontend_rejects_unimplemented_qualifiers():
+    """_N/_C/_K/_V must error loudly: the written header would advertise
+    a layout the payload doesn't have (ADVICE r4)."""
+    from nnet_asr_tpu.ops.mfcc import FrontendConfig
+    for bad in ("FBANK_N", "MFCC_0_N", "MFCC_C", "FBANK_K", "MFCC_V"):
+        with pytest.raises(ValueError, match="qualifier"):
+            Frontend(FrontendConfig(target_kind=bad))
+
+
+def test_thcopy_nohead_byte_order_semantics(tmp_path):
+    """NATURALREADORDER=TRUE means machine-natural little-endian on x86
+    (TFeaCat.cc:139 swap = !GetBool(NATURALREADORDER, IsBigEndian()));
+    BYTEORDER=VAX also means little; neither set defaults to HTK's
+    big-endian.  NATURALREADORDER=TRUE must therefore match BYTEORDER=VAX
+    bit-for-bit and differ from the no-config default (ADVICE r4)."""
+    from nnet_asr_tpu.tools import thcopy
+    s = _tone(1000)
+    raw = tmp_path / "u.raw"
+    raw.write_bytes(s.astype("<i2").tobytes())
+    base = (
+        "SOURCEKIND   = WAVEFORM\nSOURCEFORMAT = NOHEAD\n"
+        "SOURCERATE   = 625\nTARGETKIND   = FBANK\nLOFREQ = 0\n"
+        "HIFREQ = 8000\nNUMCHANS = 23\nUSEPOWER = T\nPREEMCOEF = 0\n"
+        "TARGETRATE = 100000\nWINDOWSIZE = 250000\n")
+    outs = {}
+    for tag, extra in (("vax", "BYTEORDER = VAX\n"),
+                       ("nat", "NATURALREADORDER = TRUE\n"),
+                       ("dflt", "")):
+        cfgf = tmp_path / f"{tag}.cfg"
+        cfgf.write_text(base + extra)
+        dst = tmp_path / f"{tag}.fea"
+        assert thcopy.main(["thcopy", "-C", str(cfgf),
+                            str(raw), str(dst)]) == 0
+        outs[tag] = htk.FeatureReader().read(str(dst))
+    np.testing.assert_array_equal(outs["vax"], outs["nat"])
+    assert not np.array_equal(outs["vax"], outs["dflt"])
