@@ -16,12 +16,17 @@ natively:
     examples/run_timit_scale.sh stages 2-5 run unchanged on real data
     (set NNET_TS_WAV_DIR to use this instead of the synthetic corpus).
 
-Audio containers: RIFF WAV (.wav) or headerless PCM16 (.raw, VAX order,
-SOURCERATE=625) at 16 kHz — convert TIMIT's SPHERE files externally
-(`sox -t .sph f.wav -t .raw -e signed -b 16 -r 16000 out.raw`, exactly
-what prepare_timit.sh does; sox is not in this container). Labels:
+Audio containers (dispatched by magic bytes, not extension): RIFF WAV,
+NIST SPHERE (what real TIMIT discs ship, usually named ``.wav`` —
+replaces prepare_timit.sh:26's ``sox -t .sph`` stage), or headerless
+PCM16 (.raw, VAX order, SOURCERATE=625) at 16 kHz. Labels:
 ``<name>.phn`` (TIMIT sample-indexed triples) or ``<name>.lab`` (HTK
-100ns ticks) next to each audio file.
+100ns ticks) next to each audio file, case-insensitive (TIMIT discs are
+often upper-case: SA1.WAV/SA1.PHN). A real TIMIT tree
+(TEST/DR1/FCJF0/SA1.wav) gets reference naming ``<spk>_<base>``
+(prepare_timit.sh:23-26) and the dialect sentences sa1/sa2 are excluded
+as the reference's list stage does (prepare_timit.sh:58-59; keep them
+with --include-sa).
 
 ``--toy N`` synthesizes a small wav corpus (per-phone tone mixtures +
 noise over a 12-phone set) so the wav→features→train→decode path is
@@ -42,7 +47,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from nnet_asr_tpu.io.htk import write_htk_file
 from nnet_asr_tpu.io.mlf import MlfWriter
-from nnet_asr_tpu.io.wav import read_raw, read_wav, write_wav
+from nnet_asr_tpu.io.wav import read_audio_auto, write_wav
 from nnet_asr_tpu.ops.mfcc import Frontend, FrontendConfig
 
 # timit2our39.sh re-implemented (HLEd ME/RE/DE commands): closures merge
@@ -159,6 +164,9 @@ def main(argv=None) -> int:
     ap.add_argument("--toy", type=int, default=0,
                     help="synthesize N toy wav utterances instead")
     ap.add_argument("--cv-frac", type=float, default=0.1)
+    ap.add_argument("--include-sa", action="store_true",
+                    help="keep TIMIT sa1/sa2 dialect sentences "
+                         "(reference drops them)")
     ap.add_argument("--seed", type=int, default=999)
     args = ap.parse_args(argv)
 
@@ -181,21 +189,40 @@ def main(argv=None) -> int:
     else:
         if not args.audio_dir:
             ap.error("audio_dir required without --toy")
+        seen = {}
         for root, _, files in os.walk(args.audio_dir):
+            lower = {f.lower(): f for f in files}
             for fn in sorted(files):
                 base, ext = os.path.splitext(fn)
-                if ext.lower() not in (".wav", ".raw"):
+                if ext.lower() not in (".wav", ".raw", ".sph"):
                     continue
-                stem = os.path.join(root, base)
-                if os.path.exists(stem + ".phn"):
-                    segs = fold_labels(read_phn(stem + ".phn"))
-                elif os.path.exists(stem + ".lab"):
-                    segs = fold_labels(read_lab(stem + ".lab"))
-                else:
+                # sa1/sa2 are TIMIT's dialect-calibration sentences; the
+                # reference's list stage drops them (prepare_timit.sh:58)
+                if base.lower() in ("sa1", "sa2") and not args.include_sa:
+                    continue
+                # labels live next to the audio, any case (SA1.PHN)
+                lab = None
+                for lext, rd in ((".phn", read_phn), (".lab", read_lab)):
+                    cand = lower.get(base.lower() + lext)
+                    if cand is not None:
+                        lab = os.path.join(root, cand)
+                        segs = fold_labels(rd(lab))
+                        break
+                if lab is None:
                     print(f"skipping {fn}: no .phn/.lab labels",
                           file=sys.stderr)
                     continue
-                name = base.replace(os.sep, "_")
+                # TIMIT-tree naming: <speaker>_<sentence>, the reference's
+                # unique-name scheme (prepare_timit.sh:23-26); flat dirs
+                # keep the bare stem
+                rel = os.path.relpath(root, args.audio_dir)
+                name = (base if rel == os.curdir
+                        else f"{os.path.basename(root)}_{base}").lower()
+                if name in seen:
+                    raise SystemExit(
+                        f"utterance name collision: {name} from "
+                        f"{os.path.join(root, fn)} and {seen[name]}")
+                seen[name] = os.path.join(root, fn)
                 utts.append((name, os.path.join(root, fn), segs))
         if not utts:
             raise SystemExit(f"no labelled audio under {args.audio_dir}")
@@ -207,12 +234,9 @@ def main(argv=None) -> int:
     names = []
     total = 0
     for name, path, segs in utts:
-        if path.endswith(".raw"):
-            samples = read_raw(path)
-        else:
-            samples, rate = read_wav(path)
-            if rate != 16000:
-                raise SystemExit(f"{path}: expected 16kHz, got {rate}")
+        samples, rate = read_audio_auto(path, rate_hint=16000)
+        if rate != 16000:
+            raise SystemExit(f"{path}: expected 16kHz, got {rate}")
         feats = fe.extract(samples)
         # clamp the last segment to the feature length (the reference's
         # mlf-fix-endduration awk step)

@@ -136,6 +136,15 @@ def main(argv=None) -> int:
                 raise SystemExit(
                     f"{src}: WAV rate {rate}Hz does not match SOURCERATE="
                     f"{cfg.source_rate:g} ({1e7 / cfg.source_rate:.0f}Hz)")
+        elif source_format in ("NIST", "SPHERE"):
+            from ..io.wav import read_sphere
+            samples, rate = read_sphere(src)
+            period = 1.0e7 / rate
+            if abs(period - cfg.source_rate) > 0.5:
+                raise SystemExit(
+                    f"{src}: SPHERE rate {rate}Hz does not match "
+                    f"SOURCERATE={cfg.source_rate:g} "
+                    f"({1e7 / cfg.source_rate:.0f}Hz)")
         elif source_format == "HTK":
             from ..io.wav import read_htk_waveform
             samples, period = read_htk_waveform(src, not natural)

@@ -220,6 +220,109 @@ def test_frontend_rejects_unimplemented_qualifiers():
             Frontend(FrontendConfig(target_kind=bad))
 
 
+def test_sphere_roundtrip_both_byte_orders(tmp_path):
+    """NIST SPHERE read/write: the 1024-byte ASCII header + PCM body,
+    little ('01') and big ('10') sample_byte_format (VERDICT r4 #3 —
+    real TIMIT discs ship SPHERE files named .wav)."""
+    from nnet_asr_tpu.io.wav import read_sphere, sniff_audio, write_sphere
+    s = _tone(700)
+    for fmt in ("01", "10"):
+        p = tmp_path / f"u{fmt}.wav"
+        write_sphere(str(p), s, 16000, byte_format=fmt)
+        assert p.stat().st_size == 1024 + 2 * s.size
+        assert sniff_audio(str(p)) == "nist"
+        got, rate = read_sphere(str(p))
+        assert rate == 16000
+        np.testing.assert_array_equal(got, s)
+
+
+def test_sphere_rejects_shorten_and_truncation(tmp_path):
+    from nnet_asr_tpu.io.wav import read_sphere, write_sphere
+    s = _tone(500)
+    p = tmp_path / "sh.wav"
+    write_sphere(str(p), s, 16000)
+    raw = p.read_bytes().replace(b"sample_coding -s3 pcm",
+                                 b"sample_coding -s18 pcm,embedded-short")
+    p.write_bytes(raw)
+    with pytest.raises(ValueError, match="shorten"):
+        read_sphere(str(p))
+
+    p2 = tmp_path / "tr.wav"
+    write_sphere(str(p2), s, 16000)
+    p2.write_bytes(p2.read_bytes()[:1024 + s.size])   # half the samples
+    with pytest.raises(ValueError, match="Truncated SPHERE data"):
+        read_sphere(str(p2))
+
+    p3 = tmp_path / "no.wav"
+    p3.write_bytes(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError, match="Not a NIST SPHERE"):
+        read_sphere(str(p3))
+
+
+def test_thcopy_nist_source(tmp_path):
+    """SOURCEFORMAT=NIST produces the same features as the RIFF WAV path
+    for identical samples."""
+    from nnet_asr_tpu.io.wav import write_sphere
+    from nnet_asr_tpu.tools import thcopy
+    s = _tone(1500)
+    sph = tmp_path / "u.sph"
+    write_sphere(str(sph), s, 16000)
+    wav = tmp_path / "u.wav"
+    write_wav(str(wav), s, 16000)
+    base = (
+        "SOURCEKIND   = WAVEFORM\nSOURCERATE   = 625\n"
+        "TARGETKIND   = FBANK\nLOFREQ = 0\nHIFREQ = 8000\n"
+        "NUMCHANS = 23\nUSEPOWER = T\nPREEMCOEF = 0\n"
+        "TARGETRATE = 100000\nWINDOWSIZE = 250000\n")
+    feats = {}
+    for tag, fmtline, src in (("nist", "SOURCEFORMAT = NIST\n", sph),
+                              ("wav", "SOURCEFORMAT = WAV\n", wav)):
+        cfgf = tmp_path / f"{tag}.cfg"
+        cfgf.write_text(base + fmtline)
+        dst = tmp_path / f"{tag}.fea"
+        assert thcopy.main(["thcopy", "-C", str(cfgf),
+                            str(src), str(dst)]) == 0
+        feats[tag] = htk.FeatureReader().read(str(dst))
+    np.testing.assert_array_equal(feats["nist"], feats["wav"])
+
+
+def test_prepare_from_wav_timit_tree(tmp_path):
+    """A real-TIMIT-shaped tree (TEST/DR1/<SPK>/SA1.WAV SPHERE + .PHN,
+    upper-case) prepares with reference naming <spk>_<base>, sa1/sa2
+    excluded (prepare_timit.sh:23-26,58)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "prepare_from_wav", "/root/repo/examples/prepare_from_wav.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from nnet_asr_tpu.io.wav import write_sphere
+
+    rng = np.random.default_rng(0)
+    tree = tmp_path / "timit"
+    for spk in ("FCJF0", "MDPK0"):
+        d = tree / "TRAIN" / "DR1" / spk
+        d.mkdir(parents=True)
+        for sent in ("SA1", "SX101"):
+            wav, segs = mod.synth_toy_wav(rng, 4)
+            write_sphere(str(d / f"{sent}.WAV"), wav, 16000)
+            # sample-indexed .phn triples (upper-case file name)
+            with open(d / f"{sent}.PHN", "w") as f:
+                for s0, e0, ph in segs:
+                    f.write(f"{s0} {e0} {ph}\n")
+    w = tmp_path / "work"
+    rc = mod.main([str(tree), str(w)])
+    assert rc == 0
+    feas = sorted(p.name for p in (w / "fea").iterdir())
+    assert feas == ["fcjf0_sx101.fea", "mdpk0_sx101.fea"]   # sa1 dropped
+    mlf = (w / "mlfs" / "ref.mlf").read_text()
+    assert "fcjf0_sx101.lab" in mlf
+
+    # --include-sa keeps the dialect sentences
+    w2 = tmp_path / "work2"
+    assert mod.main([str(tree), str(w2), "--include-sa"]) == 0
+    assert len(list((w2 / "fea").iterdir())) == 4
+
+
 def test_thcopy_nohead_byte_order_semantics(tmp_path):
     """NATURALREADORDER=TRUE means machine-natural little-endian on x86
     (TFeaCat.cc:139 swap = !GetBool(NATURALREADORDER, IsBigEndian()));
