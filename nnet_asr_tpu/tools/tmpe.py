@@ -175,7 +175,8 @@ def main(argv=None) -> int:
     # the accelerator next to the NN forward pass (ops/mpe_device.py,
     # parity-tested vs the numpy engine); 'auto' picks jax whenever a
     # non-CPU backend is active
-    mpe_engine = ui.get_enum("MPEENGINE", "auto", ["auto", "jax", "numpy"])
+    mpe_engine = ui.get_enum("MPEENGINE", "auto",
+                             ["auto", "jax", "numpy", "native"])
     trace = ui.get_int("TRACE", 0)
     if ui.get_bool("PRINTCONFIG", False):
         ui.print_config()
@@ -209,11 +210,13 @@ def main(argv=None) -> int:
     # engine (docs/KERNELS.md); a one-utterance probe below decides
     probe_pending = False
     if mpe_engine == "auto":
-        if jax.default_backend() == "cpu":
-            mpe_engine = "numpy"
-        else:
-            mpe_engine = "numpy"     # start host-side; probe may switch
-            probe_pending = True
+        # host-side C++ engine when g++ built it (12x the numpy engine
+        # at TIMIT-lattice scale — docs/KERNELS.md), numpy otherwise;
+        # on an accelerator a one-utterance probe below still measures
+        # the device engine against it
+        from ..train import mpe_native
+        mpe_engine = "native" if mpe_native.available() else "numpy"
+        probe_pending = jax.default_backend() != "cpu"
     dictionary = None
     if p_dict:
         from ..io.dictionary import read_dictionary
@@ -320,6 +323,9 @@ def main(argv=None) -> int:
             T, rd.last_header.sample_period, e.logical)
         segs = labels_to_phone_segments(labs, label_names)
         lat = lattices.get(e.logical)
+        # native engine: arc/phone flattening is weight-independent —
+        # do it here on the reader pool, hidden behind the pipeline
+        mpe.preflatten(lat)
         return e, feats_ext, T, labs, segs, lat
 
     def lattice_fb(e, T, labs, segs, lat, log_post):
@@ -376,11 +382,12 @@ def main(argv=None) -> int:
                 tj = time.time() - tj
             except Exception:
                 tj = float("inf")
+            host_name = "native" if mpe._native is not None else "numpy"
             if tj < tn:
                 mpe = jax_mpe
-            print(f"[MPEENGINE auto] numpy {tn * 1e3:.1f}ms vs device "
-                  f"{tj * 1e3:.1f}ms per utterance -> "
-                  f"{'jax' if tj < tn else 'numpy'}", flush=True)
+            print(f"[MPEENGINE auto] {host_name} {tn * 1e3:.1f}ms vs "
+                  f"device {tj * 1e3:.1f}ms per utterance -> "
+                  f"{'jax' if tj < tn else host_name}", flush=True)
         if show_gamma and gammas is not None:
             print(f"{e.logical}: avgAcc {avg_acc:.4f}")
         return gammas, avg_acc
@@ -450,7 +457,9 @@ def main(argv=None) -> int:
                 max_workers=fb_workers,
                 mp_context=multiprocessing.get_context("spawn"),
                 initializer=_fb_worker_init,
-                initargs=(p_hmm, labels_repo.label_map, mpe.cfg, "numpy"))
+                initargs=(p_hmm, labels_repo.label_map, mpe.cfg,
+                          "native" if mpe._native is not None
+                          else "numpy"))
 
         def drain_one():
             nonlocal t_fwd, frames

@@ -265,6 +265,7 @@ class MpeComputer:
                 segmentation="exact" if cfg.exact_segmentation else "map",
                 exact_window=cfg.exact_window,
                 transp_scale=cfg.transp_scale)
+        self._native = None
         self._padded = engine == "jax"
         if self._padded:
             # bucket-padded masked kernels: ONE device call per utterance
@@ -289,6 +290,18 @@ class MpeComputer:
                     h.transp > 0,
                     np.log(np.maximum(h.transp, 1e-300)), LOG_ZERO)
                 for name, h in hmms.items()}
+        if engine == "native":
+            # compiled level-sweep engine (native/mpefb.cc): the same
+            # recursions in C++ instead of numpy-over-Python-objects
+            # (the remaining host hot loop, ~62% of a corpus-scale MPE
+            # iteration — BASELINE_MEASURED.md). Tables reuse
+            # _senone_cache/_log_tp verbatim so both engines see
+            # identical bits; falls back to the numpy path when g++ is
+            # unavailable.
+            from . import mpe_native
+            if mpe_native.available():
+                self._native = mpe_native.NativeTables(
+                    list(hmms), self._senone_cache, self._log_tp)
 
     # ------------------------------------------------------------------
     def _build_arcs(self, lat: Lattice, log_post: np.ndarray):
@@ -494,6 +507,16 @@ class MpeComputer:
             for j, i in enumerate(ids):
                 arcs[i].occupancy = occs[j]
 
+    def preflatten(self, lat: Lattice) -> None:
+        """Weight-independent native-engine prep (arc/phone arrays) —
+        callable from a prefetch pool ahead of the training loop; no-op
+        for the numpy/jax engines or word lattices needing expansion."""
+        if self._native is not None and (
+                self.expander is None
+                or not self.expander.needs_expansion(lat)):
+            from .mpe_native import flatten_lattice
+            flatten_lattice(lat, self._native)
+
     # ------------------------------------------------------------------
     def compute(self, lat: Lattice, log_post: np.ndarray,
                 ref_segments: Sequence[Tuple[int, int, str]],
@@ -508,10 +531,20 @@ class MpeComputer:
         underflow — overpruning or bad data.
         """
         T, C = log_post.shape
+        # f64 throughout: the prefix-sum scorer always ran in double;
+        # lifting the bucketed emissions too keeps the numpy and native
+        # engines in the same precision (they are parity-gated)
+        log_post = np.asarray(log_post, np.float64)
         if self.expander is not None and self.expander.needs_expansion(lat):
             lat = self.expander.expand(lat, log_post)
         beam = self.cfg.pruning if pruning is None else pruning
         beam = beam if beam > 0.0 else None     # 0 => -LOG_0, TMpeCu.cc:559
+        if self._native is not None:
+            from .mpe_native import compute_native
+            return compute_native(
+                lat, log_post, ref_segments, self._native, self.cfg,
+                kappa=self.cfg.outprb_scale, utt_weight=utt_weight,
+                frame_weights=frame_weights, beam=beam)
         if beam is None:
             arcs, _ = self._prepare_arcs(lat, log_post)
         else:

@@ -466,3 +466,125 @@ def test_single_state_closed_form_matches_generic_fb():
         ll_ref, occ_ref = arc_forward_backward_batch(obs, lt)
         assert abs(float(ll[0]) - float(ll_ref[0])) < 1e-9, (t0, t1)
         np.testing.assert_array_equal(mpe._ones_occ(L), occ_ref[0])
+
+
+# ---------------------------------------------------------------------------
+# native (C++) engine parity — gates native/mpefb.cc against the numpy
+# engine across every decoder knob (VERDICT r4 #2)
+# ---------------------------------------------------------------------------
+
+def _native_or_skip():
+    from nnet_asr_tpu.train import mpe_native
+    if not mpe_native.available():
+        pytest.skip("g++ unavailable: native mpefb not built")
+
+
+def _rand_post(T, C, seed):
+    rng = np.random.default_rng(seed)
+    return np.log(rng.dirichlet(np.ones(C), size=T)).astype(np.float32)
+
+
+def _both(hmms, label_map, cfg, lat, log_post, ref, **kw):
+    g_np, c_np, z_np = MpeComputer(hmms, label_map, cfg,
+                                   engine="numpy").compute(
+        lat, log_post, ref, **kw)
+    comp = MpeComputer(hmms, label_map, cfg, engine="native")
+    assert comp._native is not None
+    g_nt, c_nt, z_nt = comp.compute(lat, log_post, ref, **kw)
+    np.testing.assert_allclose(g_nt, g_np, atol=2e-6)
+    assert c_nt == pytest.approx(c_np, abs=1e-10)
+    assert z_nt == pytest.approx(z_np, abs=1e-9)
+    return g_nt
+
+
+def test_native_engine_parity_battery():
+    """Native == numpy across configurations: multi-state HMMs, NULL
+    arcs, beam pruning, ML gamma, OCCUPPSCALE, MODELPENALTY, LMSCALE,
+    TRANSPSCALE, time shifts, utterance/frame weights."""
+    _native_or_skip()
+    label_map = {"a_s2": 0, "a_s3": 1, "b_s2": 2, "c_s2": 3}
+    hmms = {"a": _hmm("a", n_emit=2, self_loop=0.3,
+                      senone_names=["a_s2", "a_s3"]),
+            "b": _hmm("b", senone_names=["b_s2"]),
+            "c": _hmm("c", self_loop=0.7, senone_names=["c_s2"])}
+    T, C = 14, 4
+    log_post = _rand_post(T, C, 21)
+    ref = [(0, 7, "a"), (7, 14, "b")]
+    # diamond with a !NULL arc and same-time nodes
+    lat = _simple_lattice(
+        [(0, 1, "a", -0.3), (0, 2, "b", -0.1), (1, 3, "c", 0.0),
+         (2, 3, "b", -0.2), (3, 4, "!NULL", 0.0), (4, 5, "a", 0.0)],
+        [0.0, 0.07, 0.07, 0.10, 0.10, 0.14])
+
+    for cfg, kw in [
+        (MpeConfig(), {}),
+        (MpeConfig(outprb_scale=0.3), {}),
+        (MpeConfig(ml_gamma=True), {}),
+        (MpeConfig(occup_scale=0.7, ml_gamma=True), {}),
+        (MpeConfig(model_penalty=-1.5), {}),
+        (MpeConfig(lm_scale=9.0), {}),
+        (MpeConfig(transp_scale=2.0), {}),
+        (MpeConfig(start_time_shift=0.01, end_time_shift=0.01), {}),
+        (MpeConfig(), {"utt_weight": 0.6}),
+        (MpeConfig(), {"frame_weights":
+                       np.linspace(0.5, 1.5, T)}),
+        (MpeConfig(), {"pruning": 1e6}),     # wide beam == exact
+        (MpeConfig(ml_gamma=True), {"pruning": 5.0}),   # tight beam
+    ]:
+        _both(hmms, label_map, cfg, lat, log_post, ref, **kw)
+
+
+def test_native_engine_tight_beam_prunes_identically():
+    _native_or_skip()
+    hmms, label_map = _setup()
+    T, C = 12, 4
+    log_post = np.full((T, C), -8.0, dtype=np.float32)
+    log_post[:, 0] = -0.1
+    lat = _simple_lattice([(0, 1, "a", 0.0), (0, 2, "b", 0.0),
+                           (1, 3, "a", 0.0), (2, 3, "b", 0.0)],
+                          [0.0, 0.06, 0.06, 0.12])
+    ref = [(0, 12, "a")]
+    g = _both(hmms, label_map, MpeConfig(ml_gamma=True), lat, log_post,
+              ref, pruning=5.0)
+    assert g[:, 1].sum() == 0.0
+
+
+def test_native_engine_error_paths():
+    _native_or_skip()
+    hmms, label_map = _setup()
+    T, C = 10, 4
+    log_post = _rand_post(T, C, 5)
+    ref = [(0, 10, "a")]
+    comp = MpeComputer(hmms, label_map, MpeConfig(), engine="native")
+    assert comp._native is not None
+    # zero-length phone arc
+    lat = _simple_lattice([(0, 1, "a", 0.0)], [0.0, 0.0])
+    with pytest.raises(ValueError, match="Zero-length arc"):
+        comp.compute(lat, log_post, ref)
+    # unknown phone
+    lat2 = _simple_lattice([(0, 1, "zz", 0.0)], [0.0, 0.10])
+    with pytest.raises(KeyError, match="zz"):
+        comp.compute(lat2, log_post, ref)
+    # overpruning underflow: beam so tight all end-node paths die is
+    # hard to provoke on a single path; instead kill the only path via
+    # a -inf posterior (log_post LOG_ZERO everywhere)
+    lat3 = _simple_lattice([(0, 1, "a", 0.0)], [0.0, 0.10])
+    dead = np.full((T, C), -1e30, dtype=np.float64)
+    with pytest.raises(FloatingPointError):
+        comp.compute(lat3, dead, ref)
+    with pytest.raises(FloatingPointError):
+        MpeComputer(hmms, label_map, MpeConfig(),
+                    engine="numpy").compute(lat3, dead, ref)
+
+
+def test_native_engine_preflatten_caches():
+    _native_or_skip()
+    hmms, label_map = _setup()
+    lat = _simple_lattice([(0, 1, "a", 0.0)], [0.0, 0.10])
+    comp = MpeComputer(hmms, label_map, MpeConfig(), engine="native")
+    comp.preflatten(lat)
+    assert getattr(lat, "_native_flat", None) is not None
+    tables, flat = lat._native_flat
+    assert tables is comp._native
+    g, c, z = comp.compute(lat, _rand_post(10, 4, 9), [(0, 10, "a")])
+    assert g.shape == (10, 4)
