@@ -121,28 +121,36 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh,
 
     ``compute_dtype`` mirrors TrainerConfig.compute_dtype on the mesh:
     'bf16' runs the BiasedLinearity matmuls in bfloat16 (f32 master
-    params/loss/update); 'int8'/'int8pf' run the fake-quant STE modes.
-    The per-tensor activation scale of plain 'int8' is a pmax over the
-    ``data`` axis so it sees the GLOBAL bunch max, matching the
+    params/loss/update); 'int8'/'int8pf'/'int8pfsr' run the fake-quant
+    STE modes. The per-tensor activation scale of plain 'int8' is a pmax
+    over the ``data`` axis so it sees the GLOBAL bunch max, matching the
     single-chip semantics exactly; 'int8pf' (per-frame) and the
     per-output-column weight scales are shard-local by construction.
-    'int8full' (real int8 GEMMs) is single-chip-only — rejected here
-    rather than silently ignored (ADVICE r3).
+    'int8pfsr' (stochastic rounding, the production quantized-training
+    mode) draws its uniforms at the GLOBAL bunch shape and slices each
+    shard's row block, so the trajectory is bit-comparable to the
+    single-chip trainer for any data-axis layout; its PRNG key rides the
+    replicated accumulator as ``acc['_sr_key']`` exactly like
+    train.Trainer (advanced per step inside the drain scan, eval
+    deterministic). 'int8full' (real int8 GEMMs) is single-chip-only —
+    rejected here rather than silently ignored (ADVICE r3).
     """
     if objective not in ("xent", "mse"):
         raise ValueError(f"unknown objective {objective!r}")
-    if compute_dtype not in (None, "bf16", "int8", "int8pf"):
+    if compute_dtype not in (None, "bf16", "int8", "int8pf", "int8pfsr"):
         raise ValueError(
             f"compute_dtype {compute_dtype!r} is not supported on a mesh "
-            "(supported: bf16, int8, int8pf; int8full is single-chip-only)")
+            "(supported: bf16, int8, int8pf, int8pfsr; int8full is "
+            "single-chip-only)")
     bf16 = compute_dtype == "bf16"
-    int8 = compute_dtype in ("int8", "int8pf")
-    act_axis = -1 if compute_dtype == "int8pf" else None
+    int8 = compute_dtype in ("int8", "int8pf", "int8pfsr")
+    act_axis = -1 if compute_dtype in ("int8pf", "int8pfsr") else None
+    sr = compute_dtype == "int8pfsr"
 
     def _cast(v):
         return v.astype(jnp.bfloat16) if bf16 else v
 
-    def _fq(t, axis=None, global_bunch=False):
+    def _fq(t, axis=None, global_bunch=False, key=None):
         # fake-quant with straight-through gradients, identical math to
         # train.Trainer._fq; for the per-tensor activation scale the max
         # rides a pmax over the data axis so every shard quantizes with
@@ -153,7 +161,20 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh,
         if global_bunch and axis is None:
             amax = jax.lax.pmax(amax, "data")
         s = amax / 127.0 + 1e-12
-        q = jnp.clip(jnp.round(t / s), -127, 127) * s
+        if key is not None:
+            # stochastic rounding (int8pfsr), bit-identical to the
+            # single-chip draw: generate the GLOBAL-bunch-shaped uniform
+            # and slice this shard's row block, so every global row sees
+            # the same u regardless of the data-axis layout (the same
+            # trick the RBM mesh step uses for its Bernoulli draws)
+            gb = t.shape[0] * mesh.shape["data"]
+            u_full = jax.random.uniform(key, (gb,) + t.shape[1:],
+                                        dtype=t.dtype)
+            off = jax.lax.axis_index("data") * t.shape[0]
+            u = jax.lax.dynamic_slice_in_dim(u_full, off, t.shape[0], 0)
+            q = jnp.clip(jnp.floor(t / s + u), -127, 127) * s
+        else:
+            q = jnp.clip(jnp.round(t / s), -127, 127) * s
         return t + jax.lax.stop_gradient(q - t)
     out_idx, block_dims, has_softmax = _find_output_layer(net, objective)
     body_specs = net.specs[:out_idx]
@@ -196,27 +217,32 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh,
         out_idx=out_idx, n_out=n_out, n_out_pad=n_out_pad)
 
     # ---- local (per-shard) loss --------------------------------------
-    def _bl_matmul(p, h):
+    def _bl_matmul(p, h, key=None):
         """One BiasedLinearity under the compute-dtype policy (matches
         train.Trainer.forward_logits branch for branch)."""
         if int8:
-            return (_fq(h, axis=act_axis, global_bunch=True)
+            return (_fq(h, axis=act_axis, global_bunch=True, key=key)
                     @ _fq(p["weight"], axis=0) + p["bias"])
         return _cast(h) @ _cast(p["weight"]) + _cast(p["bias"])
 
-    def local_logits(params, feats):
+    def local_logits(params, feats, key=None):
+        # per-layer SR keys fold in the spec index, matching the
+        # single-chip forward_logits (body_specs there includes the
+        # output BiasedLinearity at the same index out_idx)
         h = _cast(feats)
-        for spec, p in zip(body_specs, params[:out_idx]):
+        for i, (spec, p) in enumerate(zip(body_specs, params[:out_idx])):
             if isinstance(spec, BiasedLinearity) and (bf16 or int8):
-                h = _bl_matmul(p, h)
+                kk = jax.random.fold_in(key, i) if key is not None else None
+                h = _bl_matmul(p, h, kk)
             else:
                 h = spec.apply(p, h)
-        out = _bl_matmul(params[out_idx], h)
+        kk = jax.random.fold_in(key, out_idx) if key is not None else None
+        out = _bl_matmul(params[out_idx], h, kk)
         return out.astype(jnp.float32) if bf16 else out
 
-    def softmax_ce_loss(params, feats, labels):
+    def softmax_ce_loss(params, feats, labels, key=None):
         """Fully-distributed CE: normalizer as psum/pmax scalars per row."""
-        logits = local_logits(params, feats)
+        logits = local_logits(params, feats, key)
         off = jax.lax.axis_index("model") * out_loc
         if n_out_pad != n_out:
             # mask padding columns out of the softmax; where() passes zero
@@ -250,11 +276,11 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh,
         }
         return loss, stats
 
-    def gathered_loss(params, feats, labels):
+    def gathered_loss(params, feats, labels, key=None):
         """BlockSoftmax / MSE heads: all_gather the logit stripes over the
         model axis (VJP = reduce-scatter) and run the exact single-chip
         loss on the full logits."""
-        logits_loc = local_logits(params, feats)
+        logits_loc = local_logits(params, feats, key)
         full = jax.lax.all_gather(logits_loc, "model", axis=1, tiled=True)
         full = full[:, :n_out]     # grad into padded columns is zero
         if objective == "xent":
@@ -269,8 +295,14 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh,
     local_loss = gathered_loss if gather_head else softmax_ce_loss
 
     def _shard_step(params, velocity, acc, feats, labels, lr=None):
+        key = next_key = None
+        if sr:
+            # the SR key rides the (replicated) accumulator exactly as in
+            # the single-chip trainer: advance per step inside the drain
+            # scan, eval stays deterministic (no key)
+            next_key, key = jax.random.split(acc["_sr_key"])
         (_, stats), grads = jax.value_and_grad(
-            local_loss, has_aux=True)(params, feats, labels)
+            local_loss, has_aux=True)(params, feats, labels, key)
         # replicated params: partial grads per (data, model) cell
         # sharded output layer: partial only over data
         for i in range(len(grads)):
@@ -281,17 +313,25 @@ def make_sharded_train_step(net: Network, sgd_cfg: SgdConfig, mesh: Mesh,
             net, params, velocity, grads, sgd_cfg, global_frames, factors,
             learning_rate=lr)
         stats = {k: jax.lax.psum(v, "data") for k, v in stats.items()}
-        acc = {k: acc[k] + stats[k] for k in acc}
+        acc = {k: acc[k] + stats[k] for k in acc if k != "_sr_key"}
+        if sr:
+            acc["_sr_key"] = next_key
         return params, velocity, acc
 
     def _shard_eval(params, acc, feats, labels):
         _, stats = local_loss(params, feats, labels)
         stats = {k: jax.lax.psum(v, "data") for k, v in stats.items()}
-        return {k: acc[k] + stats[k] for k in acc}
+        out = {k: acc[k] + stats[k] for k in acc if k != "_sr_key"}
+        if "_sr_key" in acc:
+            out["_sr_key"] = acc["_sr_key"]    # passthrough, untouched
+        return out
 
     vel_specs = [{k: param_specs[i][k] for k in v}
                  for i, v in enumerate(state.velocity)]
     acc_spec = {k: P() for k in zero_acc(objective)}
+    if sr:
+        # callers add acc['_sr_key'] (a PRNG key, replicated) in SR mode
+        acc_spec["_sr_key"] = P()
 
     step = shard_map(
         _shard_step, mesh=mesh,

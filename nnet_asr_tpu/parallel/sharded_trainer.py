@@ -71,6 +71,11 @@ class ShardedTrainer:
                                     scan_unroll=cfg.scan_unroll,
                                     compute_dtype=cfg.compute_dtype)
         self.state.to_device(mesh)
+        self._sr = cfg.compute_dtype == "int8pfsr"
+        if self._sr:
+            # stochastic-rounding key: same init and per-cache COPY
+            # protocol as train.Trainer._zero_acc (accs are donated)
+            self._sr_key = jax.random.PRNGKey(cfg.seed or 1)
         self._lr = jnp.float32(cfg.sgd.learning_rate)
         self.stats = XentStats() if cfg.objective == "xent" else MseStats()
         self.total_frames = 0
@@ -166,6 +171,8 @@ class ShardedTrainer:
             return
         fsh, lsh = self._globalize(*stacked)
         acc = zero_acc(self.cfg.objective)
+        if self._sr:
+            acc["_sr_key"] = jnp.array(self._sr_key, copy=True)
         if self.cfg.crossvalidate:
             acc = self._fns["drain_eval"](self.state.params, acc, fsh, lsh)
         else:
@@ -173,6 +180,8 @@ class ShardedTrainer:
                 self._fns["drain_train"](self.state.params,
                                          self.state.velocity, acc, fsh, lsh,
                                          self._lr)
+        if "_sr_key" in acc:
+            self._sr_key = acc["_sr_key"]
         # per-cache stats stay on device until epoch end (no mid-epoch
         # host sync); merged per cache in f64, like train.Trainer
         self._accs.append(acc)

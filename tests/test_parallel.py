@@ -195,10 +195,13 @@ def test_sharded_gathered_heads(head, objective):
     ("bf16", 2e-2),      # bf16 matmuls: shard-count-dependent rounding
     ("int8", 3e-4),      # fake-quant in f32: per-tensor scale pmax'd global
     ("int8pf", 3e-4),    # per-frame scale is shard-local by construction
+    ("int8pfsr", 3e-4),  # SR draws at the GLOBAL bunch shape, row-sliced
 ])
 def test_sharded_compute_dtype_matches_single_chip(cdt, rtol):
     """--COMPUTEDTYPE under --MESH must actually quantize (ADVICE r3: it
-    was silently ignored) and track the single-chip trajectory."""
+    was silently ignored) and track the single-chip trajectory.
+    int8pfsr additionally requires the mesh's stochastic-rounding draws
+    to be bit-identical to the single chip's (VERDICT r4 #5)."""
     rng = np.random.default_rng(7)
     net = _mlp(rng)
     sgd_cfg = SgdConfig(learning_rate=0.05, momentum=0.5, grad_div_frm=True)
@@ -212,6 +215,8 @@ def test_sharded_compute_dtype_matches_single_chip(cdt, rtol):
         acc = ref._zero_acc()
         ref.params, ref.velocity, acc = ref._train_step(
             ref.params, ref.velocity, acc, jnp.asarray(X), jnp.asarray(labels))
+        if "_sr_key" in acc:          # per-step advance, as in the epoch loop
+            ref._sr_key = acc["_sr_key"]
         ref._merge_acc(acc)
 
     mesh = make_mesh(data=4, model=2)
@@ -219,11 +224,16 @@ def test_sharded_compute_dtype_matches_single_chip(cdt, rtol):
         net, sgd_cfg, mesh, compute_dtype=cdt)
     state.to_device(mesh)
     acc = zero_acc()
+    sr_key = jax.random.PRNGKey(cfg.seed or 1)
     with jax.default_matmul_precision("highest"):
         for X, labels in bunches:
+            if cdt == "int8pfsr":
+                acc["_sr_key"] = jnp.array(sr_key, copy=True)
             state.params, state.velocity, acc = step(
                 state.params, state.velocity, acc,
                 jnp.asarray(X), jnp.asarray(labels))
+            if "_sr_key" in acc:
+                sr_key = acc.pop("_sr_key")
     for i in (0, 2):
         for k in ("weight", "bias"):
             np.testing.assert_allclose(
