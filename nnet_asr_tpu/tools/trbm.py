@@ -49,6 +49,9 @@ def main(argv=None) -> int:
     cachesize = ui.get_int("CACHESIZE", 12800)
     randomize = ui.get_bool("RANDOMIZE", True)
     seed = ui.get_int("SEED", 0)
+    # sampling PRNG: rbg = TPU-fast counter generator (1.5x CD-1 step,
+    # docs/KERNELS.md), threefry = default reproducible stream
+    rng_impl = ui.get_enum("RNGIMPL", "threefry", ["threefry", "rbg"])
     trace = ui.get_int("TRACE", 0)
     if ui.get_bool("PRINTCONFIG", False):
         ui.print_config()
@@ -75,7 +78,7 @@ def main(argv=None) -> int:
         entries.append(parse_scp_entry(extra))
 
     cfg = RbmTrainConfig(learning_rate=learning_rate, momentum=momentum,
-                         weightcost=weightcost)
+                         weightcost=weightcost, rng_impl=rng_impl)
     trainer = RbmTrainer(net.specs[0], net.params[0], cfg,
                          bunchsize=bunchsize, cachesize=cachesize,
                          seed=seed, randomize=randomize)

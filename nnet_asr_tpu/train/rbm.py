@@ -29,6 +29,13 @@ class RbmTrainConfig:
     sparsity_prior: float = 0.0001
     sparsity_lambda: float = 0.95
     sparsity_cost: float = 1e-7
+    # PRNG for the negative-phase sampling: 'threefry' (jax default,
+    # reproducible with all recorded trajectories) or 'rbg' (the TPU
+    # hardware-friendly counter generator — measured 1.5x CD-1 step
+    # throughput at production bunches, docs/KERNELS.md; a DIFFERENT but
+    # statistically equivalent stream, like the reference's CuRand vs
+    # our threefry already are)
+    rng_impl: str = "threefry"
 
 
 def init_rbm_state(spec: Rbm, params: dict, cfg: RbmTrainConfig) -> dict:
@@ -154,7 +161,13 @@ class RbmTrainer:
         self.state = init_rbm_state(spec, self.params, cfg)
         self.step = make_cd1_step(spec, cfg)
         self.cache = DeviceFrameCache(cachesize, bunchsize, seed, randomize)
-        self.key = jax.random.PRNGKey(seed if seed else 12345)
+        if cfg.rng_impl == "rbg":
+            self.key = jax.random.key(seed if seed else 12345, impl="rbg")
+        elif cfg.rng_impl == "threefry":
+            self.key = jax.random.PRNGKey(seed if seed else 12345)
+        else:
+            raise ValueError(f"unknown rng_impl {cfg.rng_impl!r} "
+                             "(threefry|rbg)")
         self.mse_sum = 0.0
         self.frames = 0
         self._mses = []          # per-cache device sums, fetched at the end

@@ -3,9 +3,13 @@
 Ablates one CD-1 step into its cost components on the real chip so the
 38-61%-of-peak observation becomes a roofline argument:
 
-  props3   — the 3 propagation GEMMs only (pos_hid, neg_vis, neg_hid)
-  gemms5   — 3 props + 2 correlation outer products, mean-field
-             (no sampling), trivial update
+  props3   — the 3 propagation GEMMs only.  CAVEAT: unmeasurable in
+             isolation — any weight-invariant variant gets its GEMM
+             chain hoisted out of the fori_loop by XLA (numbers read
+             >100% of peak); kept for the demonstration, use gemms5 as
+             the honest floor
+  gemms5   — 3 props + 2 correlation outer products with the weight
+             loop-carried, mean-field (no sampling), trivial update
   nosample — full CD-1 update chain, mean-field negative phase
              (isolates the PRNG + threshold cost when diffed vs full)
   full     — the production CD-1 step (bench_aux.py's workload)
@@ -67,7 +71,7 @@ def bench_variant(name, vis, hid, bunch, variant, M1=64, M2=256):
     state = init_rbm_state(spec, params, cfg)
     x = jnp.asarray(0.3 * rng.standard_normal((bunch, vis)), jnp.float32)
 
-    rbg = variant == "full_rbg"
+    rbg = variant in ("full_rbg", "noise_rbg")
     key0 = (jax.random.key(0, impl="rbg") if rbg
             else jax.random.PRNGKey(0))
 
@@ -95,9 +99,16 @@ def bench_variant(name, vis, hid, bunch, variant, M1=64, M2=256):
                 pos_hid = spec.apply(p, x)
                 neg_vis = spec.reconstruct(p, pos_hid)
                 neg_hid = spec.apply(p, neg_vis)
-                p = dict(p, hid_bias=p["hid_bias"]
+                # weight must be loop-carried or XLA hoists the (weight-
+                # invariant) GEMM chain out of the fori_loop entirely
+                p = dict(p, weight=p["weight"] * (1.0 + 1e-30),
+                         hid_bias=p["hid_bias"]
                          + 1e-12 * jnp.sum(neg_hid, 0))
             elif variant == "noise":
+                k, sub = jax.random.split(k)
+                u = jax.random.uniform(sub, (bunch, hid))
+                p = dict(p, hid_bias=p["hid_bias"] + 1e-12 * jnp.sum(u, 0))
+            elif variant == "noise_rbg":
                 k, sub = jax.random.split(k)
                 u = jax.random.uniform(sub, (bunch, hid))
                 p = dict(p, hid_bias=p["hid_bias"] + 1e-12 * jnp.sum(u, 0))
@@ -134,10 +145,12 @@ if __name__ == "__main__":
     print(f"backend: {jax.default_backend()}", flush=True)
     V, H = 598, 1024
     for bunch in (960, 4096):
+        # small shapes need bigger slope windows through the tunnel
+        m1, m2 = (256, 1024) if bunch <= 1024 else (64, 256)
         t = {}
         for v in ("props3", "gemms5", "nosample", "full", "full_rbg",
-                  "noise"):
-            t[v] = bench_variant(v, V, H, bunch, v)
+                  "noise", "noise_rbg"):
+            t[v] = bench_variant(v, V, H, bunch, v, M1=m1, M2=m2)
         mxu = 5 * 2 * V * H * bunch / BF16_PEAK
         print(f"  -> decomposition @ bunch {bunch}: "
               f"MXU-ideal {mxu*1e6:.1f}us | props3 {t['props3']*1e6:.1f} | "

@@ -106,6 +106,28 @@ def test_gaussian_visible_rbm():
     assert np.isfinite(float(mse))
 
 
+def test_rbm_trainer_rbg_rng():
+    """rng_impl='rbg' (the measured TPU throughput mode, trbm
+    --RNGIMPL=rbg) drives the same CD-1 trainer to a finite, moving
+    trajectory; unknown impls are rejected."""
+    from nnet_asr_tpu.train.rbm import RbmTrainer
+
+    rng = np.random.default_rng(5)
+    spec, params = _rbm(rng, cls=Rbm, vis_type="gauss")
+    w0 = np.asarray(params["weight"]).copy()
+    tr = RbmTrainer(spec, params,
+                    RbmTrainConfig(learning_rate=0.01, rng_impl="rbg"),
+                    bunchsize=16, cachesize=64, seed=3, randomize=False)
+    rows = jnp.asarray(rng.standard_normal((64, 10)).astype(np.float32))
+    tr.ingest_block(rows, 64)
+    assert tr.frames == 64
+    assert not np.array_equal(np.asarray(tr.params["weight"]), w0)
+    assert np.isfinite(np.asarray(tr.params["weight"]).sum())
+
+    with pytest.raises(ValueError, match="rng_impl"):
+        RbmTrainer(spec, params, RbmTrainConfig(rng_impl="bogus"))
+
+
 def _recurrent_net(rng, din=4, dh=6, dout=3):
     specs = (Recurrent(din, dh), BiasedLinearity(dh, dout),
              Softmax(dout, dout))
