@@ -162,6 +162,12 @@ def main(argv=None) -> int:
     # runs utterance i's lattice forward-backward.
     crossval = ui.get_bool("CROSSVALIDATE", False)
     lookahead = ui.get_int("LOOKAHEAD", 8)
+    # opt-in one-utterance-stale gradients (VERDICT r4 #9): dispatch
+    # utterance u+1's device forward BEFORE u's update lands, so the
+    # forward overlaps u's host lattice FB + update dispatch. Deviates
+    # from the reference's strict sequential SGD (TMpeCu.cc:461-672) by
+    # exactly one update of staleness; parity default OFF.
+    delayed_update = ui.get_bool("DELAYEDUPDATE", False)
     # -c only: lattice FB on a PROCESS pool (the recursions are
     # Python/numpy, so threads gain nothing); valid because evaluation
     # has no update dependency between utterances. 1 = serial (default,
@@ -420,6 +426,10 @@ def main(argv=None) -> int:
         if trace & 2:
             print(".", end="", flush=True)
 
+    if delayed_update and crossval:
+        print("WARNING: --DELAYEDUPDATE has no effect with -c "
+              "(evaluation already pipelines LOOKAHEAD deep)",
+              file=sys.stderr)
     if fb_workers > 1 and (not crossval or dictionary is not None
                            or show_gamma):
         print("WARNING: --FBWORKERS>1 applies to -c on plain phone "
@@ -510,6 +520,40 @@ def main(argv=None) -> int:
                     print(".", end="", flush=True)
             pool.shutdown()
             t_decode += time.time() - td
+    elif delayed_update:
+        # --DELAYEDUPDATE: one-deep software pipeline. Iteration n
+        # dispatches utterance u_{n}'s forward (against params that are
+        # one update stale) and only then drains u_{n-1}: fetch its
+        # posteriors (device finished them while we read/dispatched),
+        # host FB, update. The device forward of u_{n} runs concurrently
+        # with that host work.
+        it = iter(reads)
+        pend = None
+        while True:
+            tr = time.time()
+            try:
+                nxt = next(it)
+            except StopIteration:
+                nxt = None
+            t_read += time.time() - tr
+            if nxt is not None:
+                e, feats_ext, T, labs, segs, lat = nxt
+                tf = time.time()
+                feats, _ = pipe.transform_block([feats_ext])
+                dev = forward_j(params, feats)       # async, stale-by-one
+                t_fwd += time.time() - tf
+                cur = (e, T, labs, segs, lat, feats, dev)
+            else:
+                cur = None
+            if pend is not None:
+                e0, T0, labs0, segs0, lat0, feats0, dev0 = pend
+                tf = time.time()
+                log_post = np.asarray(dev0)[:T0]
+                t_fwd += time.time() - tf
+                consume(e0, T0, labs0, segs0, lat0, log_post, feats0)
+            pend = cur
+            if cur is None:
+                break
     else:
         # sequential SGD semantics (TMpeCu.cc:461-672): utterance i+1's
         # forward must see utterance i's update, so forwards can't run
