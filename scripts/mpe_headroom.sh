@@ -19,6 +19,12 @@
 #   LEARNRATE=0.002   MPE learning rate
 #   OUTPSCALE=0.3     kappa
 #   REGEN=1           regenerate lattices+posteriors after every iter
+#   FRESH_LATS=1      force regenerating the stage-3 lattices from CE
+#   TMPE_EXTRA="..."  extra tmpe flags (e.g. --MODELPENALTY=-0.9 to
+#                     mirror the decoder's -p insertion penalty at
+#                     kappa: MPE on penalty-free phone-loop lattices
+#                     otherwise optimizes an operating point the decode
+#                     penalty then punishes — insertions climb)
 #   MAX_ITER=8        newbob cap for the CE stage
 set -e -o pipefail
 
@@ -106,6 +112,7 @@ decode_model "$CE" ce_baseline
 
 echo "=== stage 3: denominator lattices from the CE model ==="
 mkdir -p $W/mpe
+[ "${FRESH_LATS:-}" = "1" ] && rm -f $W/mpe/den_lats.mlf
 [ -f $W/mpe/den_lats.mlf ] || gen_lattices "$CE"
 echo "lattice archive: $(du -h $W/mpe/den_lats.mlf | cut -f1)"
 
@@ -113,7 +120,7 @@ TMPE_COMMON=(-I $W/workdir/mlfs/ref.mlf -L '*/' -X lab -m $PHONES
   -S $W/train_fea_tjoiner${FRM_EXT}.scp --HMM=$D/HTK_gmmbypass.mmf
   --LATTICEDIR=$W/mpe/den_lats.mlf --FEATURETRANSFORM=$FEATURE_TRANSFORM
   --STARTFRMEXT=$FRM_EXT --ENDFRMEXT=$FRM_EXT
-  --OUTPSCALE=${OUTPSCALE:-0.3})
+  --OUTPSCALE=${OUTPSCALE:-0.3} ${TMPE_EXTRA:-})
 
 echo "=== stage 4: MPE iterations + per-iteration decode ==="
 src=$CE
