@@ -293,6 +293,13 @@ class ResidentNewbob:
 
         t0 = time.time()
         tr = self.trainer
+        if self.cfg.compute_dtype == "int8pfsr":
+            # per-epoch SR stream reset: the streaming scheduler runs one
+            # tnet process per epoch, so its stochastic-rounding stream
+            # restarts every epoch; resident mirrors that for byte-equal
+            # trajectories (the same per-epoch-process-state argument as
+            # the fresh momentum below)
+            tr._sr_key = jax.random.PRNGKey(self.cfg.seed or 1)
         if self.mesh is not None:
             from ..parallel.sharded_step import zero_acc
 
@@ -303,9 +310,15 @@ class ResidentNewbob:
             for st in self._train_stacks:
                 feats_all, labels_all = self._place(st)
                 acc = zero_acc(self.cfg.objective)
+                if tr._sr:
+                    # int8pfsr: the SR key rides the replicated acc
+                    # (per-cache COPY — accs are donated)
+                    acc["_sr_key"] = jnp.array(tr._sr_key, copy=True)
                 tr.state.params, tr.state.velocity, acc = \
                     tr._fns["drain_train"](tr.state.params, tr.state.velocity,
                                            acc, feats_all, labels_all, tr._lr)
+                if "_sr_key" in acc:
+                    tr._sr_key = acc["_sr_key"]
                 self._merge(stats, acc)
             # multi-host: params are identical on every process (psum'd
             # grads); process 0 writes the epoch MMF, the fleet syncs
@@ -363,6 +376,8 @@ class ResidentNewbob:
             for st in self._cv_stacks:
                 feats_all, labels_all = self._place(st)
                 acc = zero_acc(self.cfg.objective)
+                if tr._sr:
+                    acc["_sr_key"] = jnp.array(tr._sr_key, copy=True)
                 acc = tr._fns["drain_eval"](tr.state.params, acc,
                                             feats_all, labels_all)
                 self._merge(stats, acc)

@@ -129,3 +129,24 @@ def test_resident_lr_runtime_scalar(corpus, tmp_path):
     lrs = set(re.findall(r"learnrate: ([\d.e-]+)", out))
     assert len(lrs) >= 1
     assert "(resident)" in out
+
+
+def test_resident_mesh_int8pfsr(corpus, tmp_path):
+    """int8pfsr composes with --resident --mesh: the SR key must ride the
+    sharded drains' accumulator (regression: the resident mesh branch
+    built zero_acc() without '_sr_key' and the SR-mode drain rejected the
+    tree) and the trajectory must match the streaming mesh run."""
+    extra = ["--mesh=4x2", "--compute-dtype=int8pfsr"]
+    out_s = _run(corpus, None, tmp_path / "w_sq", extra)
+    out_r = _run(corpus, "--resident", tmp_path / "w_rq", extra)
+    assert "(resident, mesh)" in out_r
+    assert _history(out_r) == _history(out_s)
+    _assert_same_weights(tmp_path / "w_sq", tmp_path / "w_rq")
+
+    # single-chip resident matches single-chip streaming too (per-epoch
+    # SR stream reset — the streaming scheduler is one process per epoch)
+    sc = ["--compute-dtype=int8pfsr"]
+    out_s1 = _run(corpus, None, tmp_path / "w_s1", sc)
+    out_r1 = _run(corpus, "--resident", tmp_path / "w_r1", sc)
+    assert _history(out_r1) == _history(out_s1)
+    _assert_same_weights(tmp_path / "w_s1", tmp_path / "w_r1")
