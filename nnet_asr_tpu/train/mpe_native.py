@@ -183,6 +183,9 @@ def compute_native(lat, log_post, ref_segments, tables: NativeTables,
         flatten_lattice(lat, tables)
     n, m = times.shape[0], a_start.shape[0]
 
+    if m and (a_start.min() < 0 or a_start.max() >= n
+              or a_end.min() < 0 or a_end.max() >= n):
+        raise ValueError("lattice arc references a node out of range")
     sh0 = int(round(cfg.start_time_shift * cfg.frame_rate))
     sh1 = int(round(cfg.end_time_shift * cfg.frame_rate))
     nframe = np.rint(times * cfg.frame_rate).astype(np.int64)
