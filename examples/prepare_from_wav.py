@@ -196,6 +196,11 @@ def main(argv=None) -> int:
                 base, ext = os.path.splitext(fn)
                 if ext.lower() not in (".wav", ".raw", ".sph"):
                     continue
+                # in-place-converted trees keep SA1.sph next to SA1.wav;
+                # prefer the .wav rather than hard-failing on collision
+                if (ext.lower() == ".sph"
+                        and (base.lower() + ".wav") in lower):
+                    continue
                 # sa1/sa2 are TIMIT's dialect-calibration sentences; the
                 # reference's list stage drops them (prepare_timit.sh:58)
                 if base.lower() in ("sa1", "sa2") and not args.include_sa:

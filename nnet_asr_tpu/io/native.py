@@ -37,11 +37,12 @@ def _build_lib() -> Optional[str]:
     if (os.path.exists(so)
             and os.path.getmtime(so) >= os.path.getmtime(src)):
         return so
-    try:
+    tmp = f"{so}.{os.getpid()}.tmp"     # per-pid: concurrent cold-cache
+    try:                                # builds must not corrupt the .so
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", so + ".tmp", src],
+            ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, src],
             check=True, capture_output=True)
-        os.replace(so + ".tmp", so)
+        os.replace(tmp, so)
         return so
     except Exception:
         return None

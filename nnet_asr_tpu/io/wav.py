@@ -131,14 +131,24 @@ def read_sphere(path: str) -> tuple:
 
 def sniff_audio(path: str) -> str:
     """Detect the audio container by magic bytes: 'wav' (RIFF), 'nist'
-    (SPHERE), 'htk' or 'raw'.  Real TIMIT names SPHERE files '.wav', so
-    extension-based dispatch mis-reads them — sniff instead."""
+    (SPHERE), 'htk-be'/'htk-le' (HTK WAVEFORM whose 12-byte header is
+    consistent with the file size) or 'raw'.  Real TIMIT names SPHERE
+    files '.wav', so extension-based dispatch mis-reads them — sniff
+    instead."""
     with stk_open(path, "rb") as f:
         head = f.read(12)
+        f.seek(0, 2)
+        size = f.tell()
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return "wav"
     if head[:8] == b"NIST_1A\n":
         return "nist"
+    if len(head) == 12:
+        # HTK WAVEFORM: kind 0, sampSize 2, nSamples matching the size
+        for bo, tag in ((">", "htk-be"), ("<", "htk-le")):
+            n, _per, sz, kind = struct.unpack(bo + "iihH", head)
+            if kind == 0 and sz == 2 and n > 0 and size == 12 + 2 * n:
+                return tag
     return "raw"
 
 
@@ -150,6 +160,9 @@ def read_audio_auto(path: str, rate_hint: int = 16000) -> tuple:
         return read_wav(path)
     if kind == "nist":
         return read_sphere(path)
+    if kind.startswith("htk"):
+        samples, period = read_htk_waveform(path, kind == "htk-be")
+        return samples, int(round(1.0e7 / period))
     return read_raw(path), rate_hint
 
 

@@ -41,11 +41,12 @@ def _build_lib():
     if (os.path.exists(so)
             and os.path.getmtime(so) >= os.path.getmtime(src)):
         return so
-    try:
+    tmp = f"{so}.{os.getpid()}.tmp"     # per-pid: concurrent cold-cache
+    try:                                # builds must not corrupt the .so
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", so + ".tmp", src],
+            ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, src],
             check=True, capture_output=True)
-        os.replace(so + ".tmp", so)
+        os.replace(tmp, so)
         return so
     except Exception:
         return None
@@ -186,6 +187,15 @@ def compute_native(lat, log_post, ref_segments, tables: NativeTables,
     if m and (a_start.min() < 0 or a_start.max() >= n
               or a_end.min() < 0 or a_end.max() >= n):
         raise ValueError("lattice arc references a node out of range")
+    if tables.h_sen.size and int(tables.h_sen.max()) >= C:
+        # the numpy engine raised a clean IndexError here; the C++
+        # engine would read out of bounds (mismatched model/phone list)
+        raise ValueError(
+            f"HMM senone id {int(tables.h_sen.max())} >= NN output "
+            f"width {C} (wrong --HMM / output label map?)")
+    if frame_weights is not None and len(frame_weights) < T:
+        raise ValueError(
+            f"frame_weights length {len(frame_weights)} < T={T}")
     sh0 = int(round(cfg.start_time_shift * cfg.frame_rate))
     sh1 = int(round(cfg.end_time_shift * cfg.frame_rate))
     nframe = np.rint(times * cfg.frame_rate).astype(np.int64)

@@ -391,3 +391,53 @@ def test_thcopy_nohead_byte_order_semantics(tmp_path):
         outs[tag] = htk.FeatureReader().read(str(dst))
     np.testing.assert_array_equal(outs["vax"], outs["nat"])
     assert not np.array_equal(outs["vax"], outs["dflt"])
+
+
+def test_sniff_audio_detects_htk_waveform(tmp_path):
+    """HTK WAVEFORM files must not be misread as headerless raw by the
+    auto-dispatch (code-review r5): the 12-byte header would become 6
+    bogus samples."""
+    import struct as _struct
+
+    from nnet_asr_tpu.io.wav import read_audio_auto, sniff_audio
+    s = _tone(600)
+    p = tmp_path / "u.htkwav"
+    hdr = _struct.pack(">iihH", s.size, 625, 2, 0)
+    p.write_bytes(hdr + s.astype(">i2").tobytes())
+    assert sniff_audio(str(p)) == "htk-be"
+    got, rate = read_audio_auto(str(p))
+    assert rate == 16000
+    np.testing.assert_array_equal(got, s)
+    # little-endian variant
+    p2 = tmp_path / "u2.htkwav"
+    p2.write_bytes(_struct.pack("<iihH", s.size, 625, 2, 0)
+                   + s.astype("<i2").tobytes())
+    assert sniff_audio(str(p2)) == "htk-le"
+    # raw PCM stays raw
+    p3 = tmp_path / "u3.raw"
+    p3.write_bytes(s.astype("<i2").tobytes())
+    assert sniff_audio(str(p3)) == "raw"
+
+
+def test_prepare_from_wav_prefers_wav_over_sph(tmp_path):
+    """SA1.sph next to SA1.wav (in-place-converted tree) must not
+    hard-fail on name collision — the .wav wins."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "prepare_from_wav2", "/root/repo/examples/prepare_from_wav.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from nnet_asr_tpu.io.wav import write_sphere, write_wav as _ww
+
+    rng = np.random.default_rng(1)
+    d = tmp_path / "tree" / "TRAIN" / "DR1" / "FAAA0"
+    d.mkdir(parents=True)
+    wav, segs = mod.synth_toy_wav(rng, 3)
+    write_sphere(str(d / "SX9.sph"), wav, 16000)
+    _ww(str(d / "SX9.wav"), wav, 16000)
+    with open(d / "SX9.PHN", "w") as f:
+        for s0, e0, ph in segs:
+            f.write(f"{s0} {e0} {ph}\n")
+    w = tmp_path / "work"
+    assert mod.main([str(tmp_path / "tree"), str(w)]) == 0
+    assert sorted(p.name for p in (w / "fea").iterdir()) == ["faaa0_sx9.fea"]
